@@ -1,0 +1,100 @@
+"""Gated CRF loss (Obukhov et al. 2019) for weakly-supervised segmentation.
+
+Behavioural parity with /root/reference/code/utils/gate_crf_loss.py with the
+live configuration of the "Ours" procedure: one kernel
+``{weight: 1, xy: 6, rgb: 0.1}``, radius 5, Potts compatibility, no masks
+(…_Ours.py:68-69,143-151). The loss is
+
+    L = [ sum_k  -  sum_{b,o,h,w} k_o(h,w) * <y(h,w), y((h,w)+o)> ] / (B*H*W)
+
+with k_o(h,w) = exp(-0.5 * ||f((h,w)+o) - f(h,w)||^2), f = [xy/6, rgb/0.1],
+the centre offset removed, and *zero padding* outside the image (the
+reference uses torch ``unfold`` which zero-pads; this changes border kernel
+values and is reproduced bit-for-bit here).
+
+TPU-native design: instead of materializing the (B, (2r+1)^2, C, H, W)
+unfolded tensor (4+ GB at 384^2/bs12 in the reference), we stream over the
+offsets with shifted views; XLA fuses each offset step into a few elementwise
+kernels. ``fedicra_tpu.ops.gated_crf_pallas`` provides a fused Pallas kernel
+for the hot path; this module is the reference/XLA fallback and the oracle
+for the Pallas kernel's tests.
+
+Layout: NHWC. ``softmax_probs`` (B,H,W,C); ``image`` (B,H,W,C_img).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _shift2d(x: Array, dy: int, dx: int) -> Array:
+    """Shift x (B,H,W,C) so that out[b,h,w] = x[b,h+dy,w+dx], zero-padded."""
+    b, h, w, c = x.shape
+    pads = [(0, 0), (max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)), (0, 0)]
+    xp = jnp.pad(x, pads)
+    return xp[:, max(dy, 0) : max(dy, 0) + h, max(dx, 0) : max(dx, 0) + w, :]
+
+
+def _xy_mesh(b: int, h: int, w: int, dtype=jnp.float32) -> Array:
+    """The reference mesh: channel0 = column index, channel1 = row index."""
+    cols = jnp.broadcast_to(jnp.arange(w, dtype=dtype)[None, :], (h, w))
+    rows = jnp.broadcast_to(jnp.arange(h, dtype=dtype)[:, None], (h, w))
+    mesh = jnp.stack([cols, rows], axis=-1)  # (H,W,2)
+    return jnp.broadcast_to(mesh[None], (b, h, w, 2))
+
+
+def gated_crf_features(
+    image: Array,
+    sigma_xy: float,
+    sigma_rgb: Optional[float],
+) -> Array:
+    """Assemble the [xy/sigma_xy, rgb/sigma_rgb] feature stack (NHWC)."""
+    b, h, w, _ = image.shape
+    feats = [_xy_mesh(b, h, w, image.dtype) / sigma_xy]
+    if sigma_rgb is not None:
+        feats.append(image / sigma_rgb)
+    return jnp.concatenate(feats, axis=-1)
+
+
+def gated_crf_loss(
+    softmax_probs: Array,
+    image: Array,
+    *,
+    radius: int = 5,
+    kernels_desc: Optional[List[dict]] = None,
+) -> Array:
+    """The gated CRF loss value (scalar), XLA offset-streaming implementation."""
+    if kernels_desc is None:
+        kernels_desc = [{"weight": 1.0, "xy": 6.0, "rgb": 0.1}]
+
+    b, h, w, c = softmax_probs.shape
+    denom = b * h * w
+
+    feature_stacks: List[Tuple[float, Array]] = []
+    for desc in kernels_desc:
+        weight = desc["weight"]
+        sigma_xy = desc["xy"]
+        sigma_rgb = desc.get("rgb")
+        feature_stacks.append(
+            (weight, gated_crf_features(image, sigma_xy, sigma_rgb))
+        )
+
+    y = softmax_probs
+    total = jnp.zeros((), dtype=jnp.float32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy == 0 and dx == 0:
+                continue
+            k = jnp.zeros((b, h, w), dtype=jnp.float32)
+            for weight, f in feature_stacks:
+                diff = _shift2d(f, dy, dx) - f
+                k = k + weight * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1))
+            y_shift = _shift2d(y, dy, dx)
+            cross = jnp.sum(y_shift * y, axis=-1)  # (B,H,W)
+            total = total + jnp.sum(k * (1.0 - cross))
+    return total / denom
