@@ -1,0 +1,138 @@
+"""H5 dataset reader honouring the reference directory schema.
+
+Schema (SURVEY.md §2.5; /root/reference/code/dataloaders/dataset.py:63-183):
+  {root}/Domain{1..K}/{train,test}/*.h5 with keys
+    train: 'image' + one dataset per supervision type
+           ('scribble','scribble_noisy','keypoint','block','box'[faz],'mask')
+    test:  'image', 'mask'
+  clientN maps to DomainN; 'client_all' is the union.
+
+Images: FAZ float32 (256,256) in [0,1] (we add a channel axis); ODOC/Polyp
+float32 (3,H,W) CHW (we transpose to HWC). Labels uint8 with value
+``num_classes`` marking unlabeled pixels in sparse annotations.
+
+Like the reference, a client's full split is loaded into host RAM once; the
+arrays are then fed to the jit-compiled augmentation/training pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+SUP_TYPES = ("scribble", "scribble_noisy", "keypoint", "block", "box", "mask")
+
+
+@dataclass
+class ClientSplit:
+    images: np.ndarray  # [N, H, W, C] float32
+    labels: np.ndarray  # [N, H, W] uint8 (train: sup_type; val: mask)
+    case_names: List[str]
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+
+def _to_hwc(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 2:
+        return img[..., None].astype(np.float32)
+    if img.ndim == 3:  # CHW -> HWC
+        return np.transpose(img, (1, 2, 0)).astype(np.float32)
+    raise ValueError(f"unexpected image shape {img.shape}")
+
+
+def domain_dirs(root: str) -> List[str]:
+    doms = sorted(
+        d for d in os.listdir(root) if d.startswith("Domain") and
+        os.path.isdir(os.path.join(root, d))
+    )
+    return doms
+
+
+def client_to_domains(client: str, root: str) -> List[str]:
+    """'clientN' -> ['DomainN']; 'client_all' -> all domains (dataset.py:98-171)."""
+    doms = domain_dirs(root)
+    if client == "client_all":
+        return doms
+    if client.startswith("client"):
+        n = int(client[len("client"):])
+        name = f"Domain{n}"
+        if name not in doms:
+            raise ValueError(f"{name} not found under {root}")
+        return [name]
+    raise ValueError(f"bad client key {client!r}")
+
+
+def load_client_split(
+    root: str,
+    client: str,
+    split: str,
+    sup_type: str = "mask",
+    limit: Optional[int] = None,
+) -> ClientSplit:
+    """Load one client's train or test split fully into memory."""
+    import h5py
+
+    subdir = "train" if split == "train" else "test"
+    label_key = sup_type if split == "train" else "mask"
+    images, labels, names = [], [], []
+    for dom in client_to_domains(client, root):
+        ddir = os.path.join(root, dom, subdir)
+        for fname in sorted(os.listdir(ddir)):
+            if not fname.endswith(".h5"):
+                continue
+            with h5py.File(os.path.join(ddir, fname), "r") as f:
+                images.append(_to_hwc(f["image"][:]))
+                labels.append(np.asarray(f[label_key][:], dtype=np.uint8))
+            names.append(f"{dom}/{subdir}/{fname}")
+            if limit is not None and len(names) >= limit:
+                break
+        if limit is not None and len(names) >= limit:
+            break
+    return ClientSplit(
+        images=np.stack(images), labels=np.stack(labels), case_names=names
+    )
+
+
+def make_synthetic_split(
+    num_samples: int,
+    height: int,
+    width: int,
+    channels: int,
+    num_classes: int,
+    seed: int = 0,
+    sparse: bool = True,
+) -> ClientSplit:
+    """Synthetic data generator (used for the Polyp federation, whose data is
+    referenced by the reference launcher but not shipped, and for tests)."""
+    rng = np.random.default_rng(seed)
+    imgs = rng.uniform(0, 1, size=(num_samples, height, width, channels)).astype(
+        np.float32
+    )
+    labels = np.full((num_samples, height, width), num_classes, dtype=np.uint8)
+    yy, xx = np.mgrid[0:height, 0:width]
+    for i in range(num_samples):
+        cy, cx = rng.integers(height // 4, 3 * height // 4), rng.integers(
+            width // 4, 3 * width // 4
+        )
+        r = rng.integers(min(height, width) // 8, min(height, width) // 4)
+        disk = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        imgs[i, ..., 0] = np.where(disk, imgs[i, ..., 0] * 0.5 + 0.5, imgs[i, ..., 0])
+        if sparse:
+            # scribble-like sparse label: a few pixels of each class
+            lab = labels[i]
+            fg = np.argwhere(disk)
+            bg = np.argwhere(~disk)
+            for cls, pool in ((1, fg), (0, bg)):
+                take = pool[rng.choice(len(pool), size=min(30, len(pool)), replace=False)]
+                lab[take[:, 0], take[:, 1]] = cls if num_classes > 1 else 0
+        else:
+            labels[i] = np.where(disk, 1, 0).astype(np.uint8)
+    return ClientSplit(
+        images=imgs,
+        labels=labels,
+        case_names=[f"synthetic/{i:04d}.h5" for i in range(num_samples)],
+    )

@@ -1,0 +1,208 @@
+"""The training objectives of the reference procedures, assembled in JAX.
+
+"Ours" (FedICRA full; flower_pCE_2D_GateCRFMsacleTreeEnergyLoss_Ours.py:52-206):
+    loss = pCE + MScaleRecurveTree(weight=tree_loss_weight)
+           + 0.1 * GatedCRF + alpha * loss_lc
+with loss_lc = -(1/(K-1)) sum_{k != cid} MSE(own bottleneck PCS heatmap,
+stop_grad(heatmap under client k's embedding)).
+
+Faithfully reproduced quirks:
+- the k=0 foreign forward uses the *own* client embedding (emb_idx falsy
+  fallback, unet.py:186);
+- the foreign forwards run in train mode under no_grad, so they perturb the
+  BatchNorm running statistics sequentially (torch semantics); we thread
+  batch_stats through the K forwards, skipping the masked k == cid step.
+
+"pce" (flower_pCE_2D.py:51-181): loss = pCE (+ alpha * loss_lc under FedICRA).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..losses.gated_crf import gated_crf_loss
+from ..losses.partial import partial_cross_entropy
+from ..losses.tree_energy import multi_scale_tree_energy_loss
+from .config import TrainConfig
+
+Array = jax.Array
+
+
+def _contrast_loss(
+    model,
+    params,
+    batch_stats,
+    images: Array,
+    hm_own: Array,
+    cid: Array,
+    rng: Array,
+    cfg: TrainConfig,
+):
+    """FedICRA cross-client heatmap contrast; returns (loss_lc, new_stats)."""
+    K = cfg.num_clients
+    sg_params = jax.lax.stop_gradient(params)
+    stats = batch_stats
+    total = jnp.zeros(())
+    for k in range(K):
+        include = jnp.asarray(k, jnp.int32) != cid
+        # quirk: foreign index 0 falls back to the *own* cid
+        emb = jnp.where(k == 0, cid, jnp.asarray(k, jnp.int32))
+        rng, kd = jax.random.split(rng)
+        out_k, mut = model.apply(
+            {"params": sg_params, "batch_stats": stats},
+            images,
+            train=True,
+            emb_idx=jnp.broadcast_to(emb, (images.shape[0],)),
+            rngs={"dropout": kd},
+            mutable=["batch_stats"],
+        )
+        hm_k = jax.lax.stop_gradient(out_k["heatmaps"][-1])
+        mse = jnp.mean((hm_own - hm_k) ** 2)
+        total = total + jnp.where(include, mse, 0.0)
+        # BN running stats advance only for the K-1 included forwards
+        stats = jax.tree.map(
+            lambda old, new: jnp.where(include, new, old),
+            stats,
+            mut["batch_stats"],
+        )
+    loss_lc = -total / (K - 1)
+    return loss_lc, stats
+
+
+def ours_loss(
+    model,
+    params,
+    batch_stats,
+    rng: Array,
+    batch: Dict[str, Array],
+    cid: Array,
+    cfg: TrainConfig,
+) -> Tuple[Array, Tuple[Any, Dict[str, Array]]]:
+    """Full FedICRA objective. Returns (loss, (new_batch_stats, metrics))."""
+    images, labels = batch["image"], batch["label"]
+    rng, kd = jax.random.split(rng)
+    out, mut = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        images,
+        train=True,
+        emb_idx=jnp.broadcast_to(cid, (images.shape[0],)),
+        rngs={"dropout": kd},
+        mutable=["batch_stats"],
+    )
+    new_stats = mut["batch_stats"]
+    logits = out["logits"]
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    loss_ce = partial_cross_entropy(logits, labels, cfg.num_classes)
+
+    unlabeled_rois = (labels == cfg.num_classes).astype(jnp.float32)
+    three_channel = images
+    if images.shape[-1] == 1:
+        three_channel = jnp.repeat(images, 3, axis=-1)
+    aux1, aux2, aux3 = out["aux"]
+    loss_tree, _, _, _ = multi_scale_tree_energy_loss(
+        logits,
+        three_channel,
+        aux1,
+        aux2,
+        aux3,
+        unlabeled_rois,
+        cfg.tree_loss_weight,
+        recursive=True,
+    )
+
+    loss_crf = gated_crf_loss(probs, images, radius=cfg.gatecrf_radius)
+
+    loss = loss_ce + loss_tree + cfg.gatecrf_weight * loss_crf
+
+    metrics = {
+        "loss_ce": loss_ce,
+        "loss_tree": loss_tree,
+        "loss_crf": loss_crf,
+    }
+
+    if cfg.fedicra:
+        hm_own = out["heatmaps"][-1]
+        loss_lc, new_stats = _contrast_loss(
+            model, params, new_stats, images, hm_own, cid, rng, cfg
+        )
+        loss = loss + cfg.alpha * loss_lc
+        metrics["loss_lc"] = loss_lc
+
+    metrics["total_loss"] = loss
+    return loss, (new_stats, metrics)
+
+
+def pce_loss(
+    model,
+    params,
+    batch_stats,
+    rng: Array,
+    batch: Dict[str, Array],
+    cid: Array,
+    cfg: TrainConfig,
+) -> Tuple[Array, Tuple[Any, Dict[str, Array]]]:
+    """pCE-only objective (flower_pCE_2D.py), + contrast term under FedICRA."""
+    images, labels = batch["image"], batch["label"]
+    rng, kd = jax.random.split(rng)
+    apply_kwargs = dict(train=True, rngs={"dropout": kd}, mutable=["batch_stats"])
+    if cfg.model.startswith("unet_lc"):
+        apply_kwargs["emb_idx"] = jnp.broadcast_to(cid, (images.shape[0],))
+    out, mut = model.apply(
+        {"params": params, "batch_stats": batch_stats}, images, **apply_kwargs
+    )
+    new_stats = mut["batch_stats"]
+    logits = out["logits"]
+    loss_ce = partial_cross_entropy(logits, labels, cfg.num_classes)
+    loss = loss_ce
+    metrics = {"loss_ce": loss_ce}
+    if cfg.fedicra and cfg.model.startswith("unet_lc"):
+        hm_own = out["heatmaps"][-1]
+        loss_lc, new_stats = _contrast_loss(
+            model, params, new_stats, images, hm_own, cid, rng, cfg
+        )
+        loss = loss + cfg.alpha * loss_lc
+        metrics["loss_lc"] = loss_lc
+    metrics["total_loss"] = loss
+    return loss, (new_stats, metrics)
+
+
+def get_objective(cfg: TrainConfig):
+    if cfg.procedure == "ours":
+        return ours_loss
+    if cfg.procedure == "pce":
+        return pce_loss
+    if cfg.procedure == "treeenergy_add":
+        # the launcher accepts this procedure but its script is absent from
+        # the reference; we provide it using the additive multi-scale loss.
+        def add_loss(model, params, batch_stats, rng, batch, cid, cfg2):
+            return _treeenergy_add(model, params, batch_stats, rng, batch, cid, cfg2)
+
+        return add_loss
+    raise ValueError(cfg.procedure)
+
+
+def _treeenergy_add(model, params, batch_stats, rng, batch, cid, cfg):
+    images, labels = batch["image"], batch["label"]
+    rng, kd = jax.random.split(rng)
+    apply_kwargs = dict(train=True, rngs={"dropout": kd}, mutable=["batch_stats"])
+    if cfg.model.startswith("unet_lc"):
+        apply_kwargs["emb_idx"] = jnp.broadcast_to(cid, (images.shape[0],))
+    out, mut = model.apply(
+        {"params": params, "batch_stats": batch_stats}, images, **apply_kwargs
+    )
+    logits = out["logits"]
+    loss_ce = partial_cross_entropy(logits, labels, cfg.num_classes)
+    unlabeled_rois = (labels == cfg.num_classes).astype(jnp.float32)
+    three = images if images.shape[-1] != 1 else jnp.repeat(images, 3, axis=-1)
+    aux1, aux2, aux3 = out["aux"]
+    loss_tree, _, _, _ = multi_scale_tree_energy_loss(
+        logits, three, aux1, aux2, aux3, unlabeled_rois,
+        cfg.tree_loss_weight, recursive=False,
+    )
+    loss = loss_ce + loss_tree
+    metrics = {"loss_ce": loss_ce, "loss_tree": loss_tree, "total_loss": loss}
+    return loss, (mut["batch_stats"], metrics)

@@ -1,0 +1,121 @@
+"""Engine tests: round function semantics (phases, PCS freezing, LR)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from fedicra_tpu.data import EpochBatcher, make_synthetic_split
+from fedicra_tpu.engine import TrainConfig, init_client_state, make_round_fn, poly_lr
+from fedicra_tpu.models import net_factory
+from fedicra_tpu.models.params_filters import is_head_path, is_pcs_path
+
+
+def _setup(procedure="ours", strategy="FedICRA", iters=3, rep_iters=1, size=16):
+    cfg = TrainConfig.for_task(
+        "odoc",
+        img_size=size,
+        batch_size=2,
+        iters=iters,
+        rep_iters=rep_iters,
+        max_iterations=60,
+        procedure=procedure,
+        strategy=strategy,
+        model="unet_lc_multihead",
+    )
+    model = net_factory(
+        cfg.model, in_chns=cfg.in_chns, class_num=cfg.num_classes,
+        num_clients=cfg.num_clients,
+    )
+    state = init_client_state(model, cfg)
+    split = make_synthetic_split(4, size, size, cfg.in_chns, cfg.num_classes, seed=1)
+    batcher = EpochBatcher(split, cfg.batch_size, cfg.num_classes, "odoc", seed=5)
+    return cfg, model, state, batcher
+
+
+def test_fedicra_phases_update_disjoint_params():
+    cfg, model, state, batcher = _setup(iters=2, rep_iters=1)
+    round_fn = jax.jit(make_round_fn(model, cfg))
+
+    # run a 2-iter round: 1 head-only step then 1 body-only step.
+    # Track which params changed after a 1-head-only config instead:
+    cfg_head_only = cfg.replace(iters=1, rep_iters=0)
+    rf_head = jax.jit(make_round_fn(model, cfg_head_only))
+    batches = batcher.batches_for_round(0, 1)
+    s2, _ = rf_head(state, batches, jnp.int32(1))
+
+    before = traverse_util.flatten_dict(state.params)
+    after = traverse_util.flatten_dict(s2.params)
+    for k in before:
+        changed = not np.allclose(np.asarray(before[k]), np.asarray(after[k]))
+        if is_head_path(k):
+            assert changed, f"head param {k} should change in head phase"
+        else:
+            assert not changed, f"non-head param {k} changed in head phase"
+
+
+def test_body_phase_freezes_head_and_pcs():
+    cfg, model, state, batcher = _setup(iters=1, rep_iters=1)  # body-only round
+    round_fn = jax.jit(make_round_fn(model, cfg))
+    batches = batcher.batches_for_round(0, 1)
+    s2, _ = round_fn(state, batches, jnp.int32(1))
+    before = traverse_util.flatten_dict(state.params)
+    after = traverse_util.flatten_dict(s2.params)
+    n_changed = 0
+    for k in before:
+        changed = not np.allclose(np.asarray(before[k]), np.asarray(after[k]))
+        if is_head_path(k) or is_pcs_path(k):
+            assert not changed, f"{k} must be frozen in body phase"
+        elif changed:
+            n_changed += 1
+    assert n_changed > 0
+
+
+def test_pce_procedure_and_metrics():
+    cfg, model, state, batcher = _setup(procedure="pce", iters=2, rep_iters=1)
+    round_fn = jax.jit(make_round_fn(model, cfg))
+    s2, metrics = round_fn(state, batcher.batches_for_round(0, 2), jnp.int32(0))
+    assert "loss_ce" in metrics and "loss_lc" in metrics
+    assert np.isfinite(np.asarray(metrics["total_loss"])).all()
+    assert int(s2.current_iter) == 2
+
+
+def test_fedavg_updates_everything_but_pcs():
+    cfg, model, state, batcher = _setup(
+        procedure="pce", strategy="FedAvg", iters=2, rep_iters=1
+    )
+    cfg = cfg.replace(model="unet_lc_multihead")
+    round_fn = jax.jit(make_round_fn(model, cfg))
+    s2, _ = round_fn(state, batcher.batches_for_round(0, 2), jnp.int32(1))
+    before = traverse_util.flatten_dict(state.params)
+    after = traverse_util.flatten_dict(s2.params)
+    for k in before:
+        changed = not np.allclose(np.asarray(before[k]), np.asarray(after[k]))
+        if is_pcs_path(k):
+            assert not changed
+    # most params should move
+    moved = sum(
+        not np.allclose(np.asarray(before[k]), np.asarray(after[k])) for k in before
+    )
+    assert moved > len(before) // 2
+
+
+def test_poly_lr_schedule():
+    assert poly_lr(0.01, 0, 30000) == pytest.approx(0.01)
+    assert poly_lr(0.01, 15000, 30000) == pytest.approx(0.01 * 0.5 ** 0.9)
+
+
+def test_batcher_replay_and_epoch_regen():
+    split = make_synthetic_split(5, 8, 8, 1, 2, seed=0)
+    b = EpochBatcher(split, 2, 2, "faz", seed=3)
+    assert b.num_batches == 3
+    x0 = np.asarray(b.batch_at(0)["image"])
+    x0_again = np.asarray(b.batch_at(0)["image"])
+    np.testing.assert_array_equal(x0, x0_again)
+    # next epoch differs (new permutation/augment)
+    x_next_epoch = np.asarray(b.batch_at(3)["image"])
+    assert not np.array_equal(x0, x_next_epoch)
+    # label ignore-fill stays within [0, num_classes]
+    lab = np.asarray(b.batch_at(1)["label"])
+    assert lab.max() <= 2
