@@ -1,0 +1,135 @@
+"""Training CLI: federated procedures + centralized baseline.
+
+Mirrors the reference experiment surface (flower_runner.py composing
+per-role commands for flower_pCE_2D.py / …_Ours.py / Unet_pCE.py), collapsed
+into a single in-process entry point: the federation runs as one program on
+the TPU mesh instead of 6 gRPC-connected GPU processes.
+
+Usage:
+  python -m fedicra_tpu.cli.train --img_class odoc --strategy FedICRA \
+      --procedure ours --model unet_lc_multihead --exp myrun \
+      --root_path /data --max_iterations 30000
+  python -m fedicra_tpu.cli.train --centralized --img_class odoc \
+      --client client1 --sup_type scribble ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root_path", type=str, default=None,
+                   help="data root containing {FAZ_h5,ODOC_h5,...}; synthetic data if absent")
+    p.add_argument("--exp", type=str, default="exp")
+    p.add_argument("--img_class", type=str, default="odoc",
+                   choices=["odoc", "faz", "polyp"])
+    p.add_argument("--model", type=str, default="unet_lc_multihead")
+    p.add_argument("--procedure", type=str, default="ours",
+                   choices=["pce", "treeenergy_add", "ours"])
+    p.add_argument("--strategy", type=str, default="FedICRA",
+                   choices=["FedICRA", "FedAvg", "FedAdagrad", "FedAdam", "FedYogi"])
+    p.add_argument("--max_iterations", type=int, default=30000)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--eval_iters", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--base_lr", type=float, default=0.01)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--rep_iters", type=int, default=3)
+    p.add_argument("--tree_loss_weight", type=float, default=0.1)
+    p.add_argument("--img_size", type=int, default=None,
+                   help="override task default (faz 256 / odoc 384)")
+    p.add_argument("--amp", type=int, default=0)
+    p.add_argument("--seed", type=int, default=2022)
+    p.add_argument("--snapshot_root", type=str, default="../model")
+    p.add_argument("--limit_per_client", type=int, default=None,
+                   help="cap samples per client (debug)")
+    # centralized baseline (Unet_pCE.py)
+    p.add_argument("--centralized", action="store_true")
+    p.add_argument("--client", type=str, default="client1")
+    p.add_argument("--sup_type", type=str, default="scribble")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ..engine.config import TASKS, TrainConfig
+
+    task = TASKS[args.img_class]
+    overrides = dict(
+        model=args.model,
+        procedure=args.procedure,
+        strategy=args.strategy,
+        max_iterations=args.max_iterations,
+        iters=args.iters,
+        eval_iters=args.eval_iters,
+        batch_size=args.batch_size,
+        base_lr=args.base_lr,
+        alpha=args.alpha,
+        rep_iters=args.rep_iters,
+        tree_loss_weight=args.tree_loss_weight,
+        amp=bool(args.amp),
+        seed=args.seed,
+    )
+    if args.img_size:
+        overrides["img_size"] = args.img_size
+
+    snapshot_dir = os.path.join(args.snapshot_root, args.exp)
+
+    if args.centralized:
+        cfg = TrainConfig.for_task(
+            args.img_class, **{**overrides, "strategy": "FedAvg",
+                               "procedure": "pce", "model": args.model}
+        )
+        from ..data.h5io import load_client_split, make_synthetic_split
+        from ..engine.centralized import train_centralized
+        from ..models import net_factory
+
+        root = (
+            os.path.join(args.root_path, task["root_subdir"])
+            if args.root_path
+            else None
+        )
+        if root and os.path.isdir(root):
+            train = load_client_split(root, args.client, "train", args.sup_type,
+                                      args.limit_per_client)
+            val = load_client_split(root, args.client, "val", "mask",
+                                    args.limit_per_client)
+        else:
+            n = args.limit_per_client or 24
+            train = make_synthetic_split(n, cfg.img_size, cfg.img_size,
+                                         cfg.in_chns, cfg.num_classes, seed=0)
+            val = make_synthetic_split(max(n // 3, 2), cfg.img_size, cfg.img_size,
+                                       cfg.in_chns, cfg.num_classes, seed=1,
+                                       sparse=False)
+        model = net_factory(cfg.model, in_chns=cfg.in_chns,
+                            class_num=cfg.num_classes)
+        _, history = train_centralized(
+            model, cfg, train, val, snapshot_dir=snapshot_dir
+        )
+        if history:
+            print(json.dumps(history[-1]))
+        return
+
+    cfg = TrainConfig.for_task(args.img_class, **overrides)
+    from ..federation import build_experiment
+
+    server = build_experiment(
+        cfg,
+        data_root=args.root_path,
+        snapshot_dir=snapshot_dir,
+        limit_per_client=args.limit_per_client,
+    )
+    history = server.run()
+    if history:
+        last = {k: v for k, v in history[-1].items() if isinstance(v, float)}
+        print(json.dumps({"final": last, "best_dice": server.best_dice}))
+
+
+if __name__ == "__main__":
+    main()

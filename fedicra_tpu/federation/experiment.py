@@ -1,0 +1,104 @@
+"""Experiment assembly: build model, clients, and server for a federation.
+
+The in-process counterpart of the reference launcher + per-process mains
+(flower_runner.py + …_Ours.py main()): one Python process hosts the server
+and every client; communication is shared on-device arrays instead of gRPC
+state_dict payloads.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+
+from ..data.h5io import ClientSplit, load_client_split, make_synthetic_split
+from ..engine.config import TASKS, TrainConfig
+from ..engine.trainer import init_client_state, make_round_fn
+from ..models import net_factory
+from ..utils.logging import MetricsWriter
+from .ala import make_ala_epoch_fn
+from .client import FederatedClient
+from .server import FederatedServer
+from .strategies import get_strategy
+
+
+def load_task_splits(
+    cfg: TrainConfig,
+    data_root: Optional[str],
+    limit_per_client: Optional[int] = None,
+) -> Dict[int, Dict[str, ClientSplit]]:
+    """Per-client train/val splits; synthetic fallback when no data on disk."""
+    task = TASKS[cfg.img_class]
+    sup_types = task["sup_types"]
+    out = {}
+    root = os.path.join(data_root, task["root_subdir"]) if data_root else None
+    for cid, (client, sup) in enumerate(sup_types.items()):
+        if root and os.path.isdir(root):
+            train = load_client_split(root, client, "train", sup, limit_per_client)
+            val = load_client_split(root, client, "val", "mask", limit_per_client)
+        else:
+            n = limit_per_client or 24
+            train = make_synthetic_split(
+                n, cfg.img_size, cfg.img_size, cfg.in_chns, cfg.num_classes,
+                seed=cid, sparse=True,
+            )
+            val = make_synthetic_split(
+                max(n // 3, 2), cfg.img_size, cfg.img_size, cfg.in_chns,
+                cfg.num_classes, seed=100 + cid, sparse=False,
+            )
+        out[cid] = {"train": train, "val": val}
+    return out
+
+
+def build_experiment(
+    cfg: TrainConfig,
+    data_root: Optional[str] = None,
+    snapshot_dir: Optional[str] = None,
+    limit_per_client: Optional[int] = None,
+    splits: Optional[Dict[int, Dict[str, ClientSplit]]] = None,
+) -> FederatedServer:
+    cfg = cfg.validate()
+    model = net_factory(
+        cfg.model,
+        in_chns=cfg.in_chns,
+        class_num=cfg.num_classes,
+        num_clients=cfg.num_clients,
+        client_id=0,
+    )
+    init_state = init_client_state(model, cfg)
+    round_fn = jax.jit(make_round_fn(model, cfg))
+    ala_fn = make_ala_epoch_fn(model, cfg) if cfg.fedicra else None
+
+    if splits is None:
+        splits = load_task_splits(cfg, data_root, limit_per_client)
+
+    clients: List[FederatedClient] = []
+    for cid in range(cfg.num_clients):
+        clients.append(
+            FederatedClient(
+                cid=cid,
+                cfg=cfg,
+                model=model,
+                train_split=splits[cid]["train"],
+                val_split=splits[cid]["val"],
+                round_fn=round_fn,
+                ala_epoch_fn=ala_fn,
+                init_state=init_state,
+            )
+        )
+
+    initial_payload = {
+        "params": init_state.params,
+        "batch_stats": init_state.batch_stats,
+    }
+    strategy = get_strategy(cfg.strategy)
+    return FederatedServer(
+        cfg=cfg,
+        clients=clients,
+        strategy=strategy,
+        initial_payload=initial_payload,
+        snapshot_dir=snapshot_dir,
+        writer=MetricsWriter(snapshot_dir),
+    )

@@ -1,0 +1,179 @@
+"""Federated server: round loop, metric aggregation, checkpointing, resume.
+
+Mirrors MyServer.fit (flower_common.py:191-390):
+- round index == global iteration count: rounds advance by ``iters``
+  (range(iters, num_rounds+iters, iters), :258);
+- each round: fit all clients -> strategy aggregation -> metric logging;
+- every ``eval_iters`` iterations: client evaluation with per-client,
+  weighted (by val size) and unweighted aggregate metrics
+  (get_evaluate_metrics_aggregation_fn, :398-428);
+- best-dice and periodic (every 3000 iters) checkpoints (:341-381).
+
+Improvements over the reference (documented deviations):
+- per-client best checkpoints store the *personalized* client states; the
+  reference's get_client_state_dict has an empty local_keys list so its
+  "client" checkpoints are bit-identical to the global one (quirk #5) — we
+  fix rather than replicate, since replicating loses information and affects
+  no training trajectory;
+- full resume support (server + client states), absent in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..engine.config import TrainConfig
+from ..evaluation.metrics import METRIC_NAMES
+from ..utils.checkpoint import CheckpointManager
+from ..utils.logging import MetricsWriter
+from .api import EvaluateIns, FitIns
+from .client import FederatedClient
+from .strategies import Strategy
+
+
+class FederatedServer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        clients: List[FederatedClient],
+        strategy: Strategy,
+        initial_payload,
+        snapshot_dir: Optional[str] = None,
+        writer: Optional[MetricsWriter] = None,
+    ):
+        self.cfg = cfg
+        self.clients = clients
+        self.strategy = strategy
+        self.global_payload = initial_payload
+        self.writer = writer or MetricsWriter(snapshot_dir)
+        self.ckpt = CheckpointManager(snapshot_dir) if snapshot_dir else None
+        self.best_dice = 0.0
+        self.current_round = 0  # in global-iteration units
+        self.history: List[Dict] = []
+
+    def fit_round(self, current_round: int) -> Dict[str, float]:
+        fit_config = {
+            "iter_global": current_round,
+            "iters": self.cfg.iters,
+            "eval_iters": self.cfg.eval_iters,
+            "batch_size": self.cfg.batch_size,
+        }
+        results = []
+        for client in self.clients:
+            res = client.fit(FitIns(self.global_payload, fit_config))
+            results.append(res)
+
+        payloads = [r.payload for r in results]
+        weights = [r.num_examples for r in results]
+        self.global_payload = {
+            "params": self.strategy.aggregate(
+                self.global_payload["params"],
+                [p["params"] for p in payloads],
+                weights,
+            ),
+            "batch_stats": self.strategy.aggregate(
+                self.global_payload["batch_stats"],
+                [p["batch_stats"] for p in payloads],
+                weights,
+            )
+            if jax.tree.leaves(self.global_payload["batch_stats"])
+            else self.global_payload["batch_stats"],
+        }
+        metrics = {}
+        for r in results:
+            metrics.update(r.metrics)
+            metrics[f"fit_duration"] = r.fit_duration
+        return metrics
+
+    def evaluate_round(self, current_round: int) -> Dict[str, float]:
+        eval_config = {"iter_global": current_round}
+        all_metrics: Dict[str, float] = {}
+        weights = {}
+        for client in self.clients:
+            res = client.evaluate(EvaluateIns(self.global_payload, eval_config))
+            all_metrics.update(res.metrics)
+            weights[client.cid] = res.num_examples
+
+        # weighted + unweighted aggregates (flower_common.py:398-428)
+        total = sum(weights.values())
+        num_classes = self.cfg.num_classes
+        agg = {}
+        for name in METRIC_NAMES:
+            for ci in range(1, num_classes):
+                agg[f"val_{ci}_{name}"] = (
+                    sum(
+                        weights[c.cid]
+                        * all_metrics[f"client_{c.cid}_val_{ci}_{name}"]
+                        for c in self.clients
+                    )
+                    / total
+                )
+            agg[f"val_mean_{name}"] = (
+                sum(
+                    weights[c.cid] * all_metrics[f"client_{c.cid}_val_mean_{name}"]
+                    for c in self.clients
+                )
+                / total
+            )
+            agg[f"val_avg_mean_{name}"] = float(
+                np.mean(
+                    [
+                        all_metrics[f"client_{c.cid}_val_mean_{name}"]
+                        for c in self.clients
+                    ]
+                )
+            )
+        all_metrics.update(agg)
+        return all_metrics
+
+    def run(self, num_rounds: Optional[int] = None, progress: bool = True):
+        """Run the federated loop for ``num_rounds`` global iterations."""
+        max_iters = num_rounds or self.cfg.max_iterations
+        start = self.current_round + self.cfg.iters
+        t0 = time.perf_counter()
+        for current_round in range(start, max_iters + self.cfg.iters, self.cfg.iters):
+            round_t0 = time.perf_counter()
+            fit_metrics = self.fit_round(current_round)
+            self.current_round = current_round
+            self.writer.write(current_round, fit_metrics)
+
+            record = {"round": current_round, **fit_metrics}
+            if current_round % self.cfg.eval_iters == 0:
+                eval_metrics = self.evaluate_round(current_round)
+                self.writer.write(current_round, eval_metrics)
+                record.update(eval_metrics)
+                mean_dice = eval_metrics.get("val_mean_dice", 0.0)
+                if mean_dice > self.best_dice:
+                    self.best_dice = mean_dice
+                    if self.ckpt:
+                        self.ckpt.save_best(
+                            self.global_payload,
+                            {c.cid: c.state for c in self.clients},
+                            current_round,
+                            mean_dice,
+                        )
+            if self.ckpt and current_round % 3000 == 0:
+                self.ckpt.save_periodic(
+                    self.global_payload,
+                    {c.cid: c.state for c in self.clients},
+                    current_round,
+                )
+            record["round_duration"] = time.perf_counter() - round_t0
+            self.history.append(record)
+            if progress:
+                msg = {
+                    k: round(v, 4)
+                    for k, v in record.items()
+                    if isinstance(v, float) and ("total_loss" in k or "val_mean_dice" in k)
+                }
+                print(f"[round {current_round}] {msg}", flush=True)
+            if current_round >= max_iters:
+                break
+        self.total_duration = time.perf_counter() - t0
+        return self.history

@@ -7,7 +7,10 @@ keeps repeated test runs fast.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-set: the environment's sitecustomize exports JAX_PLATFORMS=axon (the
+# tunneled TPU); tests must run on the virtual CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
