@@ -78,6 +78,9 @@ def load_client_split(
 
     subdir = "train" if split == "train" else "test"
     label_key = sup_type if split == "train" else "mask"
+    random_walker = label_key == "random_walker"
+    if random_walker:
+        from .pseudo_label import pseudo_label_random_walker
     images, labels, names = [], [], []
     for dom in client_to_domains(client, root):
         ddir = os.path.join(root, dom, subdir)
@@ -85,8 +88,22 @@ def load_client_split(
             if not fname.endswith(".h5"):
                 continue
             with h5py.File(os.path.join(ddir, fname), "r") as f:
-                images.append(_to_hwc(f["image"][:]))
-                labels.append(np.asarray(f[label_key][:], dtype=np.uint8))
+                raw_img = f["image"][:]
+                images.append(_to_hwc(raw_img))
+                if random_walker:
+                    # dense pseudo-labels from the scribble seeds
+                    # (dataset.py:90-93; the reference seeds from sup_type
+                    # 'random_walker' which reads the scribble dataset)
+                    seed_key = "scribble" if "scribble" in f else label_key
+                    seed = np.asarray(f[seed_key][:])
+                    img_class = "odoc" if seed.max() >= 3 else "faz"
+                    labels.append(
+                        pseudo_label_random_walker(
+                            raw_img, seed, img_class=img_class
+                        ).astype(np.uint8)
+                    )
+                else:
+                    labels.append(np.asarray(f[label_key][:], dtype=np.uint8))
             names.append(f"{dom}/{subdir}/{fname}")
             if limit is not None and len(names) >= limit:
                 break

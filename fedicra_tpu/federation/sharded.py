@@ -128,36 +128,76 @@ def make_sharded_round_fn(model, cfg: TrainConfig, mesh):
         last_metrics = jax.tree.map(lambda m: m[-1], metrics)
         return new_state, last_metrics
 
-    def fed_round(stacked_states, global_payload, batches, ala_batches,
-                  iter_global, weights):
-        K = weights.shape[0]
-        cids = jnp.arange(K, dtype=jnp.int32)
-        new_states, metrics = jax.vmap(
-            client_step, in_axes=(0, None, 0, (0 if ala_batches is not None else None), None, 0)
-        )(stacked_states, global_payload, batches, ala_batches, iter_global, cids)
+    has_ala = cfg.fedicra
 
-        new_global = {
-            "params": stacked_weighted_mean(new_states.params, weights),
-            "batch_stats": stacked_weighted_mean(new_states.batch_stats, weights)
-            if jax.tree.leaves(new_states.batch_stats)
-            else new_states.batch_stats,
+    def shard_body(states, payload, batches_l, ala_l, iter_global, cids_l,
+                   weights_l, total_weight):
+        """Runs on one 'client'-axis shard; local_K clients live here.
+
+        The 'data' mesh axis is NOT named here — it stays under automatic
+        GSPMD partitioning, so per-client batch maths (BN statistics, loss
+        means) keep exact unsharded semantics.
+        """
+        local_K = cids_l.shape[0]
+
+        def one(i):
+            st = jax.tree.map(lambda x: x[i], states)
+            bt = jax.tree.map(lambda x: x[i], batches_l)
+            al = (
+                jax.tree.map(lambda x: x[i], ala_l) if ala_l is not None else None
+            )
+            return client_step(st, payload, bt, al, iter_global, cids_l[i])
+
+        results = [one(i) for i in range(local_K)]
+        new_states = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[r[0] for r in results]
+        )
+        metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *[r[1] for r in results])
+
+        # partial weighted sums -> psum over the client axis = FedAvg over ICI
+        def wavg(leaf):
+            part = jnp.tensordot(weights_l, leaf, axes=1)
+            return jax.lax.psum(part, "client") / total_weight
+
+        payload_tree = {
+            "params": new_states.params,
+            "batch_stats": new_states.batch_stats,
         }
+        new_global = jax.tree.map(wavg, payload_tree)
         return new_states, new_global, metrics
 
-    # sharding layout
+    from jax import shard_map
+
+    ala_spec = P("client") if has_ala else None
+
+    def fed_round(stacked_states, global_payload, batches, ala_batches,
+                  iter_global, weights):
+        total_weight = jnp.sum(weights)
+        K = weights.shape[0]
+        cids = jnp.arange(K, dtype=jnp.int32)
+        body = shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(
+                P("client"), P(), P("client"), ala_spec, P(), P("client"),
+                P("client"), P(),
+            ),
+            out_specs=(P("client"), P(), P("client")),
+            axis_names={"client"},
+            check_vma=False,
+        )
+        return body(
+            stacked_states, global_payload, batches,
+            ala_batches if has_ala else None, iter_global, cids, weights,
+            total_weight,
+        )
+
+    # sharding layout for caller-side placement
     state_sh = NamedSharding(mesh, P("client"))
     batch_sh = NamedSharding(mesh, P("client", None, "data"))
     repl = NamedSharding(mesh, P())
 
-    def shardings_for_state(states):
-        return jax.tree.map(lambda _: state_sh, states)
-
-    jitted = jax.jit(
-        fed_round,
-        in_shardings=None,  # let GSPMD propagate from args placed by caller
-        out_shardings=None,
-    )
-
+    jitted = jax.jit(fed_round)
     return jitted, dict(state=state_sh, batch=batch_sh, replicated=repl)
 
 

@@ -1,0 +1,151 @@
+"""Cross-process federation transport (the reference's L9 layer).
+
+The reference federates 6 OS processes over Flower 1.0 gRPC, shipping the
+full state_dict as protobuf ndarrays each way every round
+(flower_common.py:63-71, 488-489). This module provides the same star
+topology over length-prefixed pickled numpy payloads on plain TCP sockets —
+dependency-free, and honouring the same FitIns/FitRes shapes as the
+in-process simulator, so the FederatedServer round loop is reused unchanged
+via ``RemoteClientProxy``.
+
+When to use which:
+- single host, 1..N chips: the in-process simulator (zero serialization; the
+  aggregation is an on-device reduction) — the TPU-native default;
+- multi-host TPU pods: ``jax.distributed.initialize`` + the sharded round
+  (federation/sharded.py) over DCN — still no host serialization;
+- true cross-site federation (separate trust domains): this transport.
+"""
+
+from __future__ import annotations
+
+import pickle
+import socket
+import struct
+import threading
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from .api import EvaluateIns, EvaluateRes, FitIns, FitRes
+
+_LEN = struct.Struct("!Q")
+
+
+def _tree_to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def send_msg(sock: socket.socket, obj: Any) -> None:
+    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    sock.sendall(_LEN.pack(len(data)) + data)
+
+
+def recv_msg(sock: socket.socket) -> Any:
+    header = _recv_exact(sock, _LEN.size)
+    (length,) = _LEN.unpack(header)
+    return pickle.loads(_recv_exact(sock, length))
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(min(n - len(buf), 1 << 20))
+        if not chunk:
+            raise ConnectionError("socket closed")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+class RemoteClientProxy:
+    """Server-side handle implementing the FederatedClient interface over a
+    socket (fit / evaluate / num_batches)."""
+
+    def __init__(self, sock: socket.socket, cid: int, num_batches: int):
+        self.sock = sock
+        self.cid = cid
+        self.num_batches = num_batches
+        self.state = None  # remote; not introspectable
+
+    def fit(self, ins: FitIns) -> FitRes:
+        send_msg(self.sock, ("fit", _tree_to_numpy(ins.payload), ins.config))
+        kind, payload, num, metrics, dur = recv_msg(self.sock)
+        assert kind == "fit_res"
+        return FitRes(payload=payload, num_examples=num, metrics=metrics,
+                      fit_duration=dur)
+
+    def evaluate(self, ins: EvaluateIns) -> EvaluateRes:
+        send_msg(self.sock, ("evaluate", _tree_to_numpy(ins.payload), ins.config))
+        kind, loss, num, metrics = recv_msg(self.sock)
+        assert kind == "evaluate_res"
+        return EvaluateRes(loss=loss, num_examples=num, metrics=metrics)
+
+    def close(self):
+        try:
+            send_msg(self.sock, ("shutdown",))
+        except Exception:
+            pass
+        self.sock.close()
+
+
+def accept_clients(
+    host: str, port: int, expected: int, timeout: float = 300.0
+) -> List[RemoteClientProxy]:
+    """Listen until ``expected`` clients register (cid + batch count)."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(expected)
+    srv.settimeout(timeout)
+    proxies: Dict[int, RemoteClientProxy] = {}
+    while len(proxies) < expected:
+        sock, _ = srv.accept()
+        kind, cid, num_batches = recv_msg(sock)
+        assert kind == "register"
+        proxies[cid] = RemoteClientProxy(sock, cid, num_batches)
+    srv.close()
+    return [proxies[c] for c in sorted(proxies)]
+
+
+def serve_client(client, host: str, port: int, retries: int = 60) -> None:
+    """Client-side loop: register, then answer fit/evaluate until shutdown.
+
+    ``client`` is a FederatedClient (federation/client.py).
+    """
+    import time
+
+    sock = None
+    for _ in range(retries):
+        try:
+            sock = socket.create_connection((host, port), timeout=10)
+            break
+        except OSError:
+            time.sleep(1.0)
+    if sock is None:
+        raise ConnectionError(f"could not reach server at {host}:{port}")
+
+    send_msg(sock, ("register", client.cid, client.num_batches))
+    while True:
+        msg = recv_msg(sock)
+        if msg[0] == "shutdown":
+            break
+        if msg[0] == "fit":
+            _, payload, config = msg
+            res = client.fit(FitIns(payload, config))
+            send_msg(
+                sock,
+                (
+                    "fit_res",
+                    _tree_to_numpy(res.payload),
+                    res.num_examples,
+                    res.metrics,
+                    res.fit_duration,
+                ),
+            )
+        elif msg[0] == "evaluate":
+            _, payload, config = msg
+            res = client.evaluate(EvaluateIns(payload, config))
+            send_msg(
+                sock, ("evaluate_res", res.loss, res.num_examples, res.metrics)
+            )
+    sock.close()
