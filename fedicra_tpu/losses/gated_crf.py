@@ -85,16 +85,41 @@ def gated_crf_loss(
         )
 
     y = softmax_probs
-    total = jnp.zeros((), dtype=jnp.float32)
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            if dy == 0 and dx == 0:
-                continue
-            k = jnp.zeros((b, h, w), dtype=jnp.float32)
-            for weight, f in feature_stacks:
-                diff = _shift2d(f, dy, dx) - f
-                k = k + weight * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1))
-            y_shift = _shift2d(y, dy, dx)
-            cross = jnp.sum(y_shift * y, axis=-1)  # (B,H,W)
-            total = total + jnp.sum(k * (1.0 - cross))
+    offsets = jnp.asarray(
+        [
+            (dy, dx)
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+            if not (dy == 0 and dx == 0)
+        ],
+        dtype=jnp.int32,
+    )
+
+    # pre-pad once; a shift by (dy, dx) is a dynamic slice of the padding
+    r = radius
+    f_pad = [
+        (w_, jnp.pad(f, [(0, 0), (r, r), (r, r), (0, 0)]))
+        for (w_, f) in feature_stacks
+    ]
+    y_pad = jnp.pad(y, [(0, 0), (r, r), (r, r), (0, 0)])
+
+    def shift(xp, dy, dx):
+        return jax.lax.dynamic_slice(
+            xp, (0, r + dy, r + dx, 0), (b, h, w, xp.shape[-1])
+        )
+
+    # lax.scan over offsets with rematerialization: the reference (and a
+    # naive unrolled loop) holds all 120 offsets' residuals — the per-offset
+    # kernels are recomputed in the backward pass instead (O(1) memory).
+    @jax.checkpoint
+    def step(total, off):
+        dy, dx = off[0], off[1]
+        k = jnp.zeros((b, h, w), dtype=jnp.float32)
+        for weight, fp in f_pad:
+            diff = shift(fp, dy, dx) - fp[:, r : r + h, r : r + w, :]
+            k = k + weight * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1))
+        cross = jnp.sum(shift(y_pad, dy, dx) * y, axis=-1)
+        return total + jnp.sum(k * (1.0 - cross)), None
+
+    total, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), offsets)
     return total / denom

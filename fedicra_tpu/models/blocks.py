@@ -189,19 +189,12 @@ def _resize_bilinear_align_corners(x: Array, out_h: int, out_w: int) -> Array:
     return out
 
 
-class DSNHead(nn.Module):
-    """Auxiliary deep-supervision head: Conv3x3->BN->ReLU->Dropout2d(0.1)->Conv1x1.
-
-    Matches the reference dsn_head blocks (unet.py:264-270 etc.): hidden width
-    512, final 1x1 conv without bias; Dropout2d == channel dropout, which in
-    NHWC is a dropout broadcast over the two spatial dims.
-    """
-
+class _DSNHeadImpl(nn.Module):
     num_classes: int
-    hidden: int = 512
+    hidden: int
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(self, x: Array, train: bool) -> Array:
         x = Conv(self.hidden, name="conv")(x)
         x = BatchNorm(name="norm")(x, train=train)
         x = nn.relu(x)
@@ -213,3 +206,26 @@ class DSNHead(nn.Module):
         )(x)
         x = Conv(self.num_classes, kernel_size=(1, 1), use_bias=False, name="out")(x)
         return x
+
+
+class DSNHead(nn.Module):
+    """Auxiliary deep-supervision head: Conv3x3->BN->ReLU->Dropout2d(0.1)->Conv1x1.
+
+    Matches the reference dsn_head blocks (unet.py:264-270 etc.): hidden width
+    512, final 1x1 conv without bias; Dropout2d == channel dropout, which in
+    NHWC is a dropout broadcast over the two spatial dims.
+
+    Rematerialized: the 512-wide hidden activation at full resolution is the
+    single largest tensor of the training step (~3.6 GB at 384^2 bs12 fp32);
+    recomputing it in the backward pass keeps it out of HBM residency.
+    """
+
+    num_classes: int
+    hidden: int = 512
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        impl = nn.remat(_DSNHeadImpl, static_argnums=(2,))(
+            num_classes=self.num_classes, hidden=self.hidden, name="impl"
+        )
+        return impl(x, train)
