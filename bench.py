@@ -53,6 +53,8 @@ def main():
     )
     # one full-body iteration per call: iters=1, rep_iters=1
     cfg = cfg.replace(iters=1, rep_iters=1)
+    if os.environ.get("BENCH_AMP") == "1":
+        cfg = cfg.replace(amp=True)
 
     model = net_factory(
         cfg.model,

@@ -75,7 +75,15 @@ def make_round_fn(model, cfg: TrainConfig):
     objective = get_objective(cfg)
 
     def loss_fn(params, batch_stats, rng, batch, cid):
-        return objective(model, params, batch_stats, rng, batch, cid, cfg)
+        # AMP (reference --amp): conv compute in bf16, BN + losses fp32.
+        # read at trace time by the conv blocks
+        from ..models.blocks import set_compute_dtype
+
+        set_compute_dtype(jnp.bfloat16 if cfg.amp else None)
+        try:
+            return objective(model, params, batch_stats, rng, batch, cid, cfg)
+        finally:
+            set_compute_dtype(None)
 
     def phase_scan(opt, carry, batches, cid):
         """Scan over one contiguous phase with a single optimizer."""

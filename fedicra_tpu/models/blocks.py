@@ -30,6 +30,20 @@ Array = jax.Array
 
 LRELU_SLOPE = 0.01  # torch nn.LeakyReLU default negative_slope
 
+# Mixed-precision control (the reference's optional AMP, --amp):
+# when set to jnp.bfloat16, convolutions compute in bf16 on the MXU with
+# fp32 parameters; BatchNorm stays fp32 (torch autocast semantics). bf16
+# needs no GradScaler (the reference's fp16 scaler has no analog here).
+_COMPUTE_DTYPE = [None]
+
+
+def set_compute_dtype(dtype) -> None:
+    _COMPUTE_DTYPE[0] = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE[0]
+
 
 def _kaiming_uniform_torch(key, shape, dtype=jnp.float32):
     """torch's default conv/linear weight init: kaiming_uniform(a=sqrt(5)).
@@ -71,6 +85,7 @@ class Conv(nn.Module):
             strides=tuple(self.strides),
             padding=self.padding,
             use_bias=self.use_bias,
+            dtype=compute_dtype(),
             kernel_init=_kaiming_uniform_torch,
             bias_init=torch_bias_init(fan_in),
             name="conv",
@@ -86,8 +101,9 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
+            dtype=jnp.float32,
             name="bn",
-        )(x)
+        )(x.astype(jnp.float32))
 
 
 class ConvBNAct(nn.Module):
@@ -158,6 +174,7 @@ class UpBlock(nn.Module):
                 features=self.skip_features,
                 kernel_size=(2, 2),
                 strides=(2, 2),
+                dtype=compute_dtype(),
                 kernel_init=_kaiming_uniform_torch,
                 bias_init=torch_bias_init(in_ch * 2 * 2),
                 name="up",

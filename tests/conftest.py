@@ -24,4 +24,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax  # noqa: E402
 
+# the environment's sitecustomize registers the tunneled-TPU backend at
+# interpreter start, before this conftest runs; the config update (unlike
+# the env var) reliably pins the test backend to the virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", False)
+assert jax.default_backend() == "cpu", jax.default_backend()
