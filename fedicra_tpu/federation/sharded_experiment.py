@@ -1,0 +1,199 @@
+"""Fused SPMD federation: the full training loop over the sharded round.
+
+Where the in-process simulator (federation/experiment.py) drives each client
+with separate dispatches and a host-driven ALA loop — maximal reference
+parity — this driver runs the *entire* federated round as the single SPMD
+program of federation/sharded.py, sharded over a (client, data) mesh:
+
+- scales to multi-chip (one or more clients per client-axis slice; data
+  parallelism inside a client over the data axis);
+- per-round aggregation is an on-device psum (the <1%-of-step-time target);
+- documented parity deviation: ALA's *first-round* converge-until-std loop
+  is replaced by the steady-state single-epoch regime (the reference behaves
+  identically from round 2 on, and rounds <= 50 iterations skip ALA anyway,
+  so trajectories only differ if max_iterations were < ~60).
+
+Evaluation/checkpointing stay host-driven between rounds.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batcher import EpochBatcher
+from ..data.h5io import ClientSplit
+from ..engine.config import TrainConfig
+from ..engine.trainer import init_client_state
+from ..evaluation.evaluate import evaluate_client
+from ..models import net_factory
+from ..parallel.mesh import make_mesh
+from ..utils.logging import MetricsWriter
+from .experiment import load_task_splits
+from .sharded import make_sharded_round_fn
+
+
+class ShardedFederation:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        data_root: Optional[str] = None,
+        snapshot_dir: Optional[str] = None,
+        limit_per_client: Optional[int] = None,
+        mesh=None,
+        splits=None,
+    ):
+        self.cfg = cfg.validate()
+        self.mesh = mesh or make_mesh(num_clients=cfg.num_clients)
+        assert cfg.num_clients % self.mesh.devices.shape[0] == 0, (
+            "num_clients must be divisible by the client mesh axis"
+        )
+        self.model = net_factory(
+            cfg.model,
+            in_chns=cfg.in_chns,
+            class_num=cfg.num_classes,
+            num_clients=cfg.num_clients,
+            client_id=0,
+        )
+        base = init_client_state(self.model, cfg)
+        K = cfg.num_clients
+        self.states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (K, *x.shape)).copy(), base
+        )._replace(
+            rng=jax.vmap(lambda i: jax.random.fold_in(base.rng, i))(jnp.arange(K)),
+            current_iter=jnp.zeros((K,), jnp.int32),
+        )
+        self.global_payload = {
+            "params": base.params,
+            "batch_stats": base.batch_stats,
+        }
+        if splits is None:
+            splits = load_task_splits(cfg, data_root, limit_per_client)
+        self.splits = splits
+        self.batchers = {
+            cid: EpochBatcher(
+                splits[cid]["train"], cfg.batch_size, cfg.num_classes,
+                cfg.img_class, seed=cfg.seed * 1000 + cid,
+            )
+            for cid in range(K)
+        }
+        self.ala_batchers = {
+            cid: EpochBatcher(
+                splits[cid]["train"], cfg.batch_size, cfg.num_classes,
+                cfg.img_class, seed=cfg.seed * 1000 + 500 + cid,
+            )
+            for cid in range(K)
+        }
+        # pad ALA epochs to a common batch count across clients
+        self.ala_nb = max(b.num_batches for b in self.ala_batchers.values())
+        self.weights = jnp.asarray(
+            [self.batchers[c].num_batches for c in range(K)], jnp.float32
+        )
+        self.round_fn, self.shardings = make_sharded_round_fn(
+            self.model, cfg, self.mesh
+        )
+        self.writer = MetricsWriter(snapshot_dir)
+        self.current_round = 0
+        self.best_dice = 0.0
+        self.history: List[Dict] = []
+
+    def _stack_round_batches(self, start_iters: np.ndarray):
+        cfg = self.cfg
+        imgs, labs = [], []
+        for cid in range(cfg.num_clients):
+            b = self.batchers[cid].batches_for_round(
+                int(start_iters[cid]), cfg.iters
+            )
+            imgs.append(b["image"])
+            labs.append(b["label"])
+        return {"image": jnp.stack(imgs), "label": jnp.stack(labs)}
+
+    def _stack_ala_batches(self, epoch: int):
+        cfg = self.cfg
+        imgs, labs = [], []
+        for cid in range(cfg.num_clients):
+            bi, bl = self.ala_batchers[cid].epoch_arrays(epoch)
+            reps = -(-self.ala_nb // bi.shape[0])
+            bi = jnp.tile(bi, (reps, 1, 1, 1, 1))[: self.ala_nb]
+            bl = jnp.tile(bl, (reps, 1, 1, 1))[: self.ala_nb]
+            imgs.append(bi)
+            labs.append(bl)
+        return {"image": jnp.stack(imgs), "label": jnp.stack(labs)}
+
+    def run_round(self) -> Dict[str, float]:
+        cfg = self.cfg
+        current_round = self.current_round + cfg.iters
+        start_iters = np.asarray(self.states.current_iter)
+        batches = self._stack_round_batches(start_iters)
+        ala = (
+            self._stack_ala_batches(current_round // max(cfg.iters, 1))
+            if cfg.fedicra
+            else None
+        )
+        with self.mesh:
+            self.states, self.global_payload, metrics = self.round_fn(
+                self.states,
+                self.global_payload,
+                batches,
+                ala,
+                jnp.asarray(current_round, jnp.int32),
+                self.weights,
+            )
+        self.current_round = current_round
+        out = {
+            f"client_{c}_{k}": float(np.asarray(v)[c])
+            for k, v in metrics.items()
+            for c in range(cfg.num_clients)
+        }
+        return out
+
+    def evaluate(self) -> Dict[str, float]:
+        cfg = self.cfg
+        per_client = {}
+        weights = {}
+        for cid in range(cfg.num_clients):
+            params = jax.tree.map(lambda x: x[cid], self.states.params)
+            stats = jax.tree.map(lambda x: x[cid], self.states.batch_stats)
+            m = evaluate_client(
+                self.model, params, stats,
+                self.splits[cid]["val"].images, self.splits[cid]["val"].labels,
+                cfg.num_classes, emb_idx=cid,
+            )
+            weights[cid] = len(self.splits[cid]["val"])
+            for k, v in m.items():
+                per_client[f"client_{cid}_{k}"] = v
+        total = sum(weights.values())
+        agg = {}
+        for k in ("mean_dice", "mean_hd95"):
+            agg[f"val_{k}"] = (
+                sum(weights[c] * per_client[f"client_{c}_{k}"] for c in weights)
+                / total
+            )
+        per_client.update(agg)
+        return per_client
+
+    def run(self, num_rounds: Optional[int] = None, progress: bool = True):
+        cfg = self.cfg
+        max_iters = num_rounds or cfg.max_iterations
+        while self.current_round < max_iters:
+            t0 = time.perf_counter()
+            m = self.run_round()
+            rec = {"round": self.current_round, **m}
+            if self.current_round % cfg.eval_iters == 0:
+                ev = self.evaluate()
+                rec.update(ev)
+                self.best_dice = max(self.best_dice, ev.get("val_mean_dice", 0))
+            rec["round_duration"] = time.perf_counter() - t0
+            self.writer.write(self.current_round, rec)
+            self.history.append(rec)
+            if progress:
+                print(
+                    f"[sharded round {self.current_round}] "
+                    f"dur={rec['round_duration']:.2f}s",
+                    flush=True,
+                )
+        return self.history
