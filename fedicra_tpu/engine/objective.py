@@ -133,6 +133,9 @@ def ours_loss(
         metrics["loss_lc"] = loss_lc
 
     metrics["total_loss"] = loss
+    # visualization parity (…_Ours.py:185-199): prediction of sample index 1
+    vis_idx = min(1, logits.shape[0] - 1)
+    metrics["vis_pred"] = jnp.argmax(logits[vis_idx], axis=-1).astype(jnp.int32)
     return loss, (new_stats, metrics)
 
 

@@ -107,10 +107,21 @@ class FederatedClient:
         self.state, metrics = self.round_fn(
             self.state, batches, jnp.asarray(self.cid, jnp.int32)
         )
-        scalar_metrics = {
-            f"client_{self.cid}_{k}": float(np.asarray(v)[-1])
-            for k, v in metrics.items()
-        }
+        scalar_metrics = {}
+        for k, v in metrics.items():
+            arr = np.asarray(v)
+            if arr.ndim <= 1:
+                scalar_metrics[f"client_{self.cid}_{k}"] = float(arr[-1])
+            else:  # per-iter arrays (e.g. vis_pred): keep the last iteration
+                scalar_metrics[f"client_{self.cid}_{k}"] = arr[-1]
+        # visualization parity: ship input/GT of the logged sample alongside
+        vis_idx = min(1, self.cfg.batch_size - 1)
+        scalar_metrics[f"client_{self.cid}_vis_image"] = np.asarray(
+            batches["image"][-1, vis_idx]
+        )
+        scalar_metrics[f"client_{self.cid}_vis_gt"] = np.asarray(
+            batches["label"][-1, vis_idx]
+        )
         return FitRes(
             payload={
                 "params": self.state.params,

@@ -89,6 +89,10 @@ class FederatedServer:
         for r in results:
             metrics.update(r.metrics)
             metrics[f"fit_duration"] = r.fit_duration
+        # TB image grids (reference MyServer parity)
+        for k in list(metrics):
+            if "_vis_" in k and getattr(metrics[k], "ndim", 0) >= 2:
+                self.writer.write_image(current_round, k, metrics.pop(k))
         return metrics
 
     def evaluate_round(self, current_round: int) -> Dict[str, float]:

@@ -106,10 +106,51 @@ def _prep(preds: Array, low_feats: Array, unlabeled_rois: Array):
     return prob, low, rois
 
 
+def _use_host_offload(host_offload) -> bool:
+    """Auto policy: offload the graph phase to the native C++ on accelerator
+    backends (TPU gathers make the on-device pointer-chasing path
+    memory-bound; see ops/tree_filter_host.py). Pure-JAX path on CPU."""
+    if host_offload is not None:
+        return bool(host_offload)
+    if jax.default_backend() in ("tpu", "axon"):
+        try:
+            from .. import native
+
+            return native.available()
+        except Exception:
+            return False
+    return False
+
+
 def _roi_l1(prob: Array, AS: Array, rois: Array) -> Array:
     n = jnp.sum(rois)
     loss = jnp.sum(rois * jnp.abs(prob - AS))
     return jnp.where(n > 0, loss / jnp.maximum(n, 1.0), loss)
+
+
+def _host_filter_chain(prob, low, highs, h, w, *, sigma, recursive):
+    """Batched host-offloaded low + high filtering chain. Shapes [B,H,W,C]."""
+    from ..ops.mst import grid_edges as _ge
+    from ..ops.tree_filter_host import make_host_tree_filter
+
+    eu, ev = _ge(h, w)
+    b, _, _, c = prob.shape
+    V = h * w
+    flat = lambda t: t.reshape(b, V, t.shape[-1])
+    unflat = lambda t: t.reshape(b, h, w, -1)
+
+    filt_low = make_host_tree_filter(eu, ev, sigma=sigma, low_tree=True)
+    filt_high = make_host_tree_filter(eu, ev, sigma=sigma, low_tree=False)
+
+    AS = unflat(filt_low(flat(prob), jax.lax.stop_gradient(flat(low))))
+    outs = []
+    cur = AS
+    for hf in highs:
+        src = cur if recursive else AS
+        nxt = unflat(filt_high(flat(src), flat(hf)))
+        outs.append(nxt)
+        cur = nxt
+    return AS, outs
 
 
 def tree_energy_loss(
@@ -120,6 +161,7 @@ def tree_energy_loss(
     weight: float,
     *,
     sigma: float = 0.02,
+    host_offload: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """Single-scale TreeEnergyLoss (flower_common.py:646-689).
 
@@ -128,11 +170,19 @@ def tree_energy_loss(
     """
     b, h, w, _ = preds.shape
     prob, low, rois = _prep(preds, low_feats, unlabeled_rois)
-    eu, ev = (jnp.asarray(a) for a in grid_edges(h, w))
 
     highs = ()
     if high_feats is not None:
         highs = (_resize_bilinear(high_feats, (h, w)),)
+
+    if _use_host_offload(host_offload):
+        AS0, outs = _host_filter_chain(
+            prob, low, highs, h, w, sigma=sigma, recursive=True
+        )
+        AS = outs[-1] if outs else AS0
+        return weight * _roi_l1(prob, AS, rois), AS
+
+    eu, ev = (jnp.asarray(a) for a in grid_edges(h, w))
 
     def per_image(p, l, hs):
         AS, outs = _single_image_recursive(
@@ -158,6 +208,7 @@ def multi_scale_tree_energy_loss(
     *,
     sigma: float = 0.02,
     recursive: bool = True,
+    host_offload: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """MScaleRecurve (recursive=True) / MScaleAdd (False) tree energy loss.
 
@@ -166,18 +217,24 @@ def multi_scale_tree_energy_loss(
     """
     b, h, w, _ = preds.shape
     prob, low, rois = _prep(preds, low_feats, unlabeled_rois)
-    eu, ev = (jnp.asarray(a) for a in grid_edges(h, w))
     h1 = _resize_bilinear(aux1, (h, w))
     h2 = _resize_bilinear(aux2, (h, w))
     h3 = _resize_bilinear(aux3, (h, w))
 
-    def per_image(p, l, f1, f2, f3):
-        _, outs = _single_image_recursive(
-            p, l, (f1, f2, f3), eu, ev, sigma=sigma, recursive=recursive
+    if _use_host_offload(host_offload):
+        _, (AS_1, AS_2, AS_3) = _host_filter_chain(
+            prob, low, (h1, h2, h3), h, w, sigma=sigma, recursive=recursive
         )
-        return outs[0], outs[1], outs[2]
+    else:
+        eu, ev = (jnp.asarray(a) for a in grid_edges(h, w))
 
-    AS_1, AS_2, AS_3 = jax.vmap(per_image)(prob, low, h1, h2, h3)
+        def per_image(p, l, f1, f2, f3):
+            _, outs = _single_image_recursive(
+                p, l, (f1, f2, f3), eu, ev, sigma=sigma, recursive=recursive
+            )
+            return outs[0], outs[1], outs[2]
+
+        AS_1, AS_2, AS_3 = jax.vmap(per_image)(prob, low, h1, h2, h3)
     if recursive:
         loss = _roi_l1(prob, AS_3, rois)
     else:

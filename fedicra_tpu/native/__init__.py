@@ -27,7 +27,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libfedicra_native.so")
-_SOURCES = ["boruvka.cpp", "permutohedral.cpp"]
+_SOURCES = ["boruvka.cpp", "tree_filter_host.cpp", "permutohedral.cpp"]
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
@@ -105,3 +105,58 @@ def boruvka_mst_batch(eu: np.ndarray, ev: np.ndarray, ew: np.ndarray) -> np.ndar
     )
     res = out.astype(bool)
     return res[0] if squeeze else res
+
+
+def tree_filter_host_batch(
+    embed: np.ndarray,
+    x: np.ndarray,
+    eu: np.ndarray,
+    ev: np.ndarray,
+    sigma: float,
+    low_tree: bool,
+    gout: Optional[np.ndarray] = None,
+):
+    """Batched host tree filter (MST + two-pass + analytic backward).
+
+    embed [B,V,D], x [B,V,C]; returns y [B,V,C]; with ``gout`` returns
+    (y, dx, dembed) where dembed is zeros for low trees.
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no g++?)")
+    embed = np.ascontiguousarray(embed, np.float32)
+    x = np.ascontiguousarray(x, np.float32)
+    eu = np.ascontiguousarray(eu, np.int32)
+    ev = np.ascontiguousarray(ev, np.int32)
+    B, V, D = embed.shape
+    C = x.shape[2]
+    E = eu.shape[0]
+    y = np.zeros_like(x)
+    want_grad = gout is not None
+    dx = np.zeros_like(x) if want_grad else None
+    dembed = np.zeros_like(embed) if want_grad else None
+    if want_grad:
+        gout = np.ascontiguousarray(gout, np.float32)
+    fn = lib.tree_filter_host_batch
+    fn.argtypes = [ctypes.POINTER(ctypes.c_float)] * 6 + [
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int,
+    ]
+
+    def fp(a):
+        return (
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            if a is not None
+            else None
+        )
+
+    fn(
+        fp(embed), fp(x), fp(gout), fp(y), fp(dx), fp(dembed),
+        eu.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        E, B, V, D, C, ctypes.c_float(sigma), int(bool(low_tree)),
+    )
+    if want_grad:
+        return y, dx, dembed
+    return y

@@ -1,0 +1,271 @@
+// Host-side learnable tree filter: MST + rooting + two-pass filtering and
+// the full analytic backward, batched with one thread per image.
+//
+// Why this exists: the tree phase is pointer-chasing (union-find, BFS,
+// parent-indexed scans). TPUs have no hardware gather — measured ~27ns per
+// gathered row regardless of width — so the O(V log V) fully-vectorized
+// on-device formulation (ops/tree_filter.py) is memory-system-bound there.
+// The production path therefore runs the graph phase on the host CPU (where
+// pointer chasing is ~1ns/node) in ONE batched callback per tree level per
+// step. The reference does the same split per-MST-call with a GPU round
+// trip each time (mst.cu:93-114); we batch it and also keep the backward
+// host-side so no residuals ship.
+//
+// Semantics identical to ops/tree_filter.py (verified by shared tests):
+// - MST over the 4-connected grid, weights ||d embed||^2 + 1, ties by edge
+//   index; rooted at vertex 0.
+// - edge weight to parent w = exp(-dist / sigma) (low tree) or exp(-dist)
+//   (high tree), w_root = 0.
+// - upward  A[v] = x[v] + sum_children w_c A[c]
+//   downward F[v] = A[v](1 - w_v^2) + w_v F[parent]
+//   y = F_x / F_1   (ones channel appended internally)
+// - backward: dL/dx = F_{g/z}; edge-weight gradient via the crossing-pair
+//   decomposition (same maths as refine.cu:302-370), chained through
+//   w = exp(-dist(/sigma)) into d embed (high trees only).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct DSU2 {
+  std::vector<int> parent;
+  explicit DSU2(int n) : parent(n) {
+    for (int i = 0; i < n; ++i) parent[i] = i;
+  }
+  int find(int x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  }
+};
+
+// Boruvka MST with (weight, index) total order; fills sel[E].
+void mst_select(const int* eu, const int* ev, const float* w, int E, int V,
+                std::vector<uint8_t>& sel) {
+  DSU2 dsu(V);
+  std::vector<int> best(V);
+  sel.assign(E, 0);
+  int remaining = V - 1;
+  while (remaining > 0) {
+    for (int v = 0; v < V; ++v) best[v] = -1;
+    bool any = false;
+    for (int i = 0; i < E; ++i) {
+      int cu = dsu.find(eu[i]);
+      int cv = dsu.find(ev[i]);
+      if (cu == cv) continue;
+      any = true;
+      for (int c : {cu, cv}) {
+        int b = best[c];
+        if (b < 0 || w[i] < w[b] || (w[i] == w[b] && i < b)) best[c] = i;
+      }
+    }
+    if (!any) break;
+    for (int v = 0; v < V; ++v) {
+      int i = best[v];
+      if (i < 0 || dsu.find(v) != v) continue;
+      int ru = dsu.find(eu[i]), rv = dsu.find(ev[i]);
+      if (ru != rv) {
+        dsu.parent[ru] = rv;
+        if (!sel[i]) {
+          sel[i] = 1;
+          --remaining;
+        }
+      }
+    }
+  }
+}
+
+struct Tree {
+  std::vector<int> parent;  // parent vertex (root: self)
+  std::vector<int> order;   // BFS order from root 0
+};
+
+void root_tree(const int* eu, const int* ev, const std::vector<uint8_t>& sel,
+               int E, int V, Tree& t) {
+  std::vector<int> head(V, -1), nxt, to;
+  nxt.reserve(2 * (V - 1));
+  to.reserve(2 * (V - 1));
+  for (int i = 0; i < E; ++i) {
+    if (!sel[i]) continue;
+    to.push_back(ev[i]); nxt.push_back(head[eu[i]]); head[eu[i]] = (int)to.size() - 1;
+    to.push_back(eu[i]); nxt.push_back(head[ev[i]]); head[ev[i]] = (int)to.size() - 1;
+  }
+  t.parent.assign(V, -1);
+  t.order.clear();
+  t.order.reserve(V);
+  t.parent[0] = 0;
+  t.order.push_back(0);
+  for (size_t qi = 0; qi < t.order.size(); ++qi) {
+    int u = t.order[qi];
+    for (int e = head[u]; e >= 0; e = nxt[e]) {
+      int v = to[e];
+      if (t.parent[v] < 0) {
+        t.parent[v] = u;
+        t.order.push_back(v);
+      }
+    }
+  }
+}
+
+// upward + downward passes over CH channels; in/out row-major [V, CH]
+void two_pass(const std::vector<float>& in, const std::vector<float>& w,
+              const Tree& t, int V, int CH, std::vector<float>& A,
+              std::vector<float>& F) {
+  A = in;
+  for (int qi = V - 1; qi >= 1; --qi) {
+    int v = t.order[qi];
+    int p = t.parent[v];
+    float wv = w[v];
+    const float* av = &A[(size_t)v * CH];
+    float* ap = &A[(size_t)p * CH];
+    for (int c = 0; c < CH; ++c) ap[c] += wv * av[c];
+  }
+  F.assign((size_t)V * CH, 0.f);
+  for (int qi = 0; qi < V; ++qi) {
+    int v = t.order[qi];
+    int p = t.parent[v];
+    float wv = (v == 0) ? 0.f : w[v];
+    const float* av = &A[(size_t)v * CH];
+    const float* fp = &F[(size_t)p * CH];
+    float* fv = &F[(size_t)v * CH];
+    float k = 1.f - wv * wv;
+    for (int c = 0; c < CH; ++c) fv[c] = av[c] * k + wv * fp[c];
+  }
+}
+
+void filter_one(const float* embed, const float* x, const float* gout,
+                float* y, float* dx, float* dembed, const int* eu,
+                const int* ev, int E, int V, int D, int C, float sigma,
+                int low_tree) {
+  // MST weights from embed
+  std::vector<float> mw((size_t)E);
+  for (int i = 0; i < E; ++i) {
+    const float* a = embed + (size_t)eu[i] * D;
+    const float* b = embed + (size_t)ev[i] * D;
+    float s = 0.f;
+    for (int d = 0; d < D; ++d) {
+      float df = a[d] - b[d];
+      s += df * df;
+    }
+    mw[i] = s + 1.f;
+  }
+  std::vector<uint8_t> sel;
+  mst_select(eu, ev, mw.data(), E, V, sel);
+  Tree t;
+  root_tree(eu, ev, sel, E, V, t);
+
+  const float inv_sigma = low_tree ? (1.f / sigma) : 1.f;
+  std::vector<float> w((size_t)V, 0.f), dist((size_t)V, 0.f);
+  for (int v = 1; v < V; ++v) {
+    int p = t.parent[v];
+    const float* a = embed + (size_t)v * D;
+    const float* b = embed + (size_t)p * D;
+    float s = 0.f;
+    for (int d = 0; d < D; ++d) {
+      float df = a[d] - b[d];
+      s += df * df;
+    }
+    dist[v] = s;
+    w[v] = std::exp(-s * inv_sigma);
+  }
+  w[0] = 0.f;
+
+  // forward on [x, 1]
+  const int CH = C + 1;
+  std::vector<float> xin((size_t)V * CH);
+  for (int v = 0; v < V; ++v) {
+    for (int c = 0; c < C; ++c) xin[(size_t)v * CH + c] = x[(size_t)v * C + c];
+    xin[(size_t)v * CH + C] = 1.f;
+  }
+  std::vector<float> A, F;
+  two_pass(xin, w, t, V, CH, A, F);
+  for (int v = 0; v < V; ++v) {
+    float z = F[(size_t)v * CH + C];
+    for (int c = 0; c < C; ++c)
+      y[(size_t)v * C + c] = F[(size_t)v * CH + c] / z;
+  }
+  if (!gout) return;
+
+  // backward: a = g/z, tsig = g*y/z  -> A/F over 2C channels
+  const int CH2 = 2 * C;
+  std::vector<float> at((size_t)V * CH2);
+  for (int v = 0; v < V; ++v) {
+    float z = F[(size_t)v * CH + C];
+    for (int c = 0; c < C; ++c) {
+      float g = gout[(size_t)v * C + c];
+      at[(size_t)v * CH2 + c] = g / z;
+      at[(size_t)v * CH2 + C + c] = g * y[(size_t)v * C + c] / z;
+    }
+  }
+  std::vector<float> Aat, Fat;
+  two_pass(at, w, t, V, CH2, Aat, Fat);
+  for (int v = 0; v < V; ++v)
+    for (int c = 0; c < C; ++c)
+      dx[(size_t)v * C + c] = Fat[(size_t)v * CH2 + c];
+
+  if (low_tree || !dembed) return;
+
+  std::memset(dembed, 0, sizeof(float) * (size_t)V * D);
+  for (int v = 1; v < V; ++v) {
+    int p = t.parent[v];
+    float wv = w[v];
+    float s1 = 0.f, s2 = 0.f;
+    const float* Av = &A[(size_t)v * CH];
+    const float* Fp = &F[(size_t)p * CH];
+    const float* Aav = &Aat[(size_t)v * CH2];
+    const float* Fap = &Fat[(size_t)p * CH2];
+    for (int c = 0; c < C; ++c) {
+      float A_x = Av[c], F_xp = Fp[c];
+      float A_a = Aav[c], F_ap = Fap[c];
+      float A_t = Aav[C + c], F_tp = Fap[C + c];
+      s1 += A_a * (F_xp - wv * A_x) + A_x * (F_ap - wv * A_a);
+      s2 += A_t * (Fp[C] - wv * Av[C]) + Av[C] * (F_tp - wv * A_t);
+    }
+    float dw = s1 - s2;
+    // w = exp(-dist * inv_sigma): dL/ddist = dw * (-inv_sigma * w)
+    float dd = dw * (-inv_sigma * wv);
+    const float* a = embed + (size_t)v * D;
+    const float* b = embed + (size_t)p * D;
+    float* da = dembed + (size_t)v * D;
+    float* db = dembed + (size_t)p * D;
+    for (int d = 0; d < D; ++d) {
+      float g2 = dd * 2.f * (a[d] - b[d]);
+      da[d] += g2;
+      db[d] -= g2;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// embed [B,V,D]; x [B,V,C]; gout NULL or [B,V,C];
+// y [B,V,C]; dx [B,V,C] (used when gout); dembed [B,V,D] (when gout &&
+// !low_tree); one thread per batch element.
+void tree_filter_host_batch(const float* embed, const float* x,
+                            const float* gout, float* y, float* dx,
+                            float* dembed, const int* eu, const int* ev,
+                            int E, int B, int V, int D, int C, float sigma,
+                            int low_tree) {
+  std::vector<std::thread> threads;
+  threads.reserve(B);
+  for (int b = 0; b < B; ++b) {
+    threads.emplace_back([=]() {
+      filter_one(embed + (size_t)b * V * D, x + (size_t)b * V * C,
+                 gout ? gout + (size_t)b * V * C : nullptr,
+                 y + (size_t)b * V * C, dx ? dx + (size_t)b * V * C : nullptr,
+                 dembed ? dembed + (size_t)b * V * D : nullptr, eu, ev, E, V,
+                 D, C, sigma, low_tree);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -41,6 +41,20 @@ class MetricsWriter:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, v, step)
 
+    def write_image(self, step: int, tag: str, image):
+        """HWC or HW array -> TensorBoard image (reference MyServer parity:
+        per-client Image/Prediction/GroundTruth grids, flower_common.py:269-283)."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        arr = np.asarray(image)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        lo, hi = arr.min(), arr.max()
+        arr = (arr - lo) / (hi - lo + 1e-8)
+        self._tb.add_image(tag, arr, step, dataformats="HWC")
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()
