@@ -37,7 +37,8 @@ def main():
     batch = 4 if small else 12
     iters_timed = 3 if small else 10
 
-    from fedicra_tpu.engine import TrainConfig, init_client_state, make_round_fn
+    from fedicra_tpu.engine import TrainConfig, init_client_state
+    from fedicra_tpu.engine.split_trainer import build_round_fn
     from fedicra_tpu.models import net_factory
 
     cfg = TrainConfig.for_task(
@@ -64,7 +65,7 @@ def main():
         client_id=0,
     )
     state = init_client_state(model, cfg)
-    round_fn = jax.jit(make_round_fn(model, cfg), donate_argnums=(0,))
+    round_fn = build_round_fn(model, cfg)
 
     rng = np.random.default_rng(0)
     batches = {
@@ -79,17 +80,23 @@ def main():
     }
     cid = jnp.asarray(1, jnp.int32)
 
+    def sync(metrics):
+        # value fetch: block_until_ready is unreliable through tunneled
+        # runtimes (async dispatch reports completion early)
+        return float(np.asarray(metrics["total_loss"])[-1])
+
     # compile + warmup
-    state, _ = round_fn(state, batches, cid)
-    jax.block_until_ready(state.params)
-    state, _ = round_fn(state, batches, cid)
-    jax.block_until_ready(state.params)
+    state, m = round_fn(state, batches, cid)
+    sync(m)
+    state, m = round_fn(state, batches, cid)
+    sync(m)
 
     t0 = time.perf_counter()
     for _ in range(iters_timed):
         state, metrics = round_fn(state, batches, cid)
-    jax.block_until_ready(state.params)
+    last_loss = sync(metrics)
     dt = time.perf_counter() - t0
+    assert np.isfinite(last_loss), last_loss
 
     imgs_per_sec = iters_timed * batch / dt
     result = {

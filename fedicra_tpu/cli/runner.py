@@ -171,7 +171,8 @@ def _server_proc(args, procedure, num_clients):
 def _client_proc(args, procedure, cid):
     import jax
 
-    from ..engine.trainer import init_client_state, make_round_fn
+    from ..engine.split_trainer import build_round_fn
+    from ..engine.trainer import init_client_state
     from ..federation.ala import make_ala_epoch_fn
     from ..federation.client import FederatedClient
     from ..federation.experiment import load_task_splits
@@ -188,7 +189,7 @@ def _client_proc(args, procedure, cid):
         model=model,
         train_split=splits[cid]["train"],
         val_split=splits[cid]["val"],
-        round_fn=jax.jit(make_round_fn(model, cfg)),
+        round_fn=build_round_fn(model, cfg),
         ala_epoch_fn=make_ala_epoch_fn(model, cfg) if cfg.fedicra else None,
         init_state=init_client_state(model, cfg),
     )

@@ -15,7 +15,8 @@ import jax
 
 from ..data.h5io import ClientSplit, load_client_split, make_synthetic_split
 from ..engine.config import TASKS, TrainConfig
-from ..engine.trainer import init_client_state, make_round_fn
+from ..engine.split_trainer import build_round_fn
+from ..engine.trainer import init_client_state
 from ..models import net_factory
 from ..utils.logging import MetricsWriter
 from .ala import make_ala_epoch_fn
@@ -68,7 +69,7 @@ def build_experiment(
         client_id=0,
     )
     init_state = init_client_state(model, cfg)
-    round_fn = jax.jit(make_round_fn(model, cfg))
+    round_fn = build_round_fn(model, cfg)
     ala_fn = make_ala_epoch_fn(model, cfg) if cfg.fedicra else None
 
     if splits is None:

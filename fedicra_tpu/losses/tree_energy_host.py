@@ -1,0 +1,108 @@
+"""Host-side multi-scale tree-energy loss: forward + analytic cotangents.
+
+Used by the split-step trainer (engine/split_trainer.py) on platforms whose
+PJRT runtime cannot host callbacks inside jit: the device program ships
+(prob, guide image, resized aux heads, ROI) to the host, this module runs
+the full recursive filter chain with the native C++ tree filter and returns
+the loss plus d(loss)/d(prob, aux1, aux2, aux3); the device program then
+injects those cotangents linearly into the objective.
+
+Numerically identical to losses/tree_energy.multi_scale_tree_energy_loss
+(verified in tests): AS = F_low(prob); AS_k = F_hk(AS_{k-1}); loss =
+weight * sum(ROI * |prob - AS_3|) / sum(ROI); |.|' at 0 is 0 (torch parity).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def _filter_fwd(embed, x, eu, ev, sigma, low_tree):
+    from .. import native
+
+    return native.tree_filter_host_batch(embed, x, eu, ev, sigma, low_tree)
+
+
+def _filter_bwd(embed, x, g, eu, ev, sigma, low_tree):
+    from .. import native
+
+    _, dx, dembed = native.tree_filter_host_batch(
+        embed, x, eu, ev, sigma, low_tree, gout=g
+    )
+    return dx, dembed
+
+
+def multi_scale_tree_loss_host(
+    prob: np.ndarray,  # [B,H,W,C] softmax probabilities
+    low: np.ndarray,  # [B,H,W,D] guide image (3-channel)
+    aux1: np.ndarray,  # [B,H,W,C] full-res (already resized on device)
+    aux2: np.ndarray,
+    aux3: np.ndarray,
+    rois: np.ndarray,  # [B,H,W]
+    weight: float,
+    *,
+    sigma: float = 0.02,
+    recursive: bool = True,
+) -> Tuple[float, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (loss, d_prob, d_aux1, d_aux2, d_aux3)."""
+    from ..ops.mst import grid_edges
+
+    b, h, w, c = prob.shape
+    V = h * w
+    eu, ev = grid_edges(h, w)
+    flat = lambda t: np.ascontiguousarray(t.reshape(b, V, t.shape[-1]), np.float32)
+    prob_f = flat(prob)
+    low_f = flat(low)
+    a_f = [flat(aux1), flat(aux2), flat(aux3)]
+
+    AS = _filter_fwd(low_f, prob_f, eu, ev, sigma, True)
+    chain = [AS]
+    cur = AS
+    for af in a_f:
+        src = cur if recursive else AS
+        nxt = _filter_fwd(af, src, eu, ev, sigma, False)
+        chain.append(nxt)
+        cur = nxt
+    AS3 = chain[-1]
+
+    roi_f = rois.reshape(b, V, 1).astype(np.float32)
+    n = float(roi_f.sum())
+    diff = prob_f - AS3
+    loss_raw = float((roi_f * np.abs(diff)).sum())
+    denom = n if n > 0 else 1.0
+    loss = weight * loss_raw / denom
+
+    # backward
+    scale = weight / denom
+    sgn = np.sign(diff).astype(np.float32)
+    d_prob = scale * roi_f * sgn  # direct term
+    d_AS3 = -scale * roi_f * sgn
+
+    d_aux = [None, None, None]
+    if recursive:
+        g = d_AS3
+        for k in range(2, -1, -1):
+            src = chain[k]  # input to filter k (AS_{k}); chain[k+1] = output
+            dx, dembed = _filter_bwd(a_f[k], src, g, eu, ev, sigma, False)
+            d_aux[k] = dembed
+            g = dx
+        # g is now the cotangent on AS (the low-filter output)
+        d_prob_filter, _ = _filter_bwd(low_f, prob_f, g, eu, ev, sigma, True)
+        d_prob = d_prob + d_prob_filter
+    else:
+        # additive variant: loss uses all three AS_k independently from AS
+        raise NotImplementedError(
+            "host path implements the recursive ('Ours') variant; the "
+            "additive variant runs on the device path"
+        )
+
+    unflat = lambda t, ch: t.reshape(b, h, w, ch)
+    return (
+        loss,
+        unflat(d_prob, c),
+        unflat(d_aux[0], c),
+        unflat(d_aux[1], c),
+        unflat(d_aux[2], c),
+    )
