@@ -80,16 +80,28 @@ def make_split_round_fn(model, cfg: TrainConfig):
     def loss_fn(params, batch_stats, k, batch, cid, tree_val, dp, d1, d2, d3):
         images, labels = batch["image"], batch["label"]
         rng, kd = jax.random.split(k)
-        out, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images,
-            train=True,
-            emb_idx=jnp.broadcast_to(cid, (images.shape[0],)),
-            rngs={"dropout": kd},
-            mutable=["batch_stats"],
-        )
-        new_stats = mut["batch_stats"]
-        logits = out["logits"]
+
+        # remat the main forward: its activations (~GBs at 384^2 bs12) are
+        # recomputed in the backward pass instead of held in HBM
+        @jax.checkpoint
+        def fwd(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                images,
+                train=True,
+                emb_idx=jnp.broadcast_to(cid, (images.shape[0],)),
+                rngs={"dropout": kd},
+                mutable=["batch_stats"],
+            )
+            return (
+                out["logits"],
+                tuple(out["aux"]),
+                out["heatmaps"][-1],
+                mut["batch_stats"],
+            )
+
+        logits, aux, hm_own, new_stats = fwd(params)
+        out = {"logits": logits, "aux": list(aux), "heatmaps": [hm_own]}
         probs = jax.nn.softmax(logits, axis=-1)
 
         loss_ce = partial_cross_entropy(logits, labels, cfg.num_classes)

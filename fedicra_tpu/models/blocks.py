@@ -206,23 +206,13 @@ def _resize_bilinear_align_corners(x: Array, out_h: int, out_w: int) -> Array:
     return out
 
 
-class _DSNHeadImpl(nn.Module):
-    num_classes: int
-    hidden: int
-
-    @nn.compact
-    def __call__(self, x: Array, train: bool) -> Array:
-        x = Conv(self.hidden, name="conv")(x)
-        x = BatchNorm(name="norm")(x, train=train)
-        x = nn.relu(x)
-        x = nn.Dropout(
-            rate=0.10,
-            deterministic=not train,
-            broadcast_dims=(-3, -2),
-            name="drop2d",
-        )(x)
-        x = Conv(self.num_classes, kernel_size=(1, 1), use_bias=False, name="out")(x)
-        return x
+def _dsn_chunks(h: int) -> int:
+    """Largest row-chunk count <= h/24 that divides h (1 for small inputs)."""
+    target = h // 24
+    for c in range(target, 1, -1):
+        if h % c == 0:
+            return c
+    return 1
 
 
 class DSNHead(nn.Module):
@@ -232,9 +222,16 @@ class DSNHead(nn.Module):
     512, final 1x1 conv without bias; Dropout2d == channel dropout, which in
     NHWC is a dropout broadcast over the two spatial dims.
 
-    Rematerialized: the 512-wide hidden activation at full resolution is the
-    single largest tensor of the training step (~3.6 GB at 384^2 bs12 fp32);
-    recomputing it in the backward pass keeps it out of HBM residency.
+    Memory design: the 512-wide hidden at full resolution is the largest
+    tensor of the training step (3.6+ GB at 384^2 bs12 fp32, doubled by its
+    cotangent in the backward). The head therefore streams spatial row-tiles
+    through a two-pass computation with hand-rolled BatchNorm:
+      pass 1: per-channel batch statistics accumulated tile-by-tile;
+      pass 2: per-tile conv3x3 -> normalize -> relu -> channel-dropout ->
+              conv1x1, each tile rematerialized (jax.checkpoint) so neither
+              the hidden nor its gradient is ever fully resident.
+    Statistics/normalization follow flax BatchNorm (momentum 0.9, eps 1e-5),
+    so the result equals the naive composition exactly in fp32.
     """
 
     num_classes: int
@@ -242,7 +239,78 @@ class DSNHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
-        impl = nn.remat(_DSNHeadImpl, static_argnums=(2,))(
-            num_classes=self.num_classes, hidden=self.hidden, name="impl"
+        b, h, w, cin = x.shape
+        hid = self.hidden
+
+        kernel = self.param(
+            "conv_kernel", _kaiming_uniform_torch, (3, 3, cin, hid)
         )
-        return impl(x, train)
+        cbias = self.param("conv_bias", torch_bias_init(cin * 9), (hid,))
+        scale = self.param("bn_scale", nn.initializers.ones, (hid,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (hid,))
+        out_kernel = self.param(
+            "out_kernel", _kaiming_uniform_torch, (1, 1, hid, self.num_classes)
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((hid,))
+        )
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((hid,)))
+
+        chunks = _dsn_chunks(h)
+        rows = h // chunks
+        xp = jnp.pad(x, [(0, 0), (1, 1), (0, 0), (0, 0)])  # H halo for 3x3
+
+        def conv_tile(k):
+            tile = jax.lax.dynamic_slice(
+                xp, (0, k * rows, 0, 0), (b, rows + 2, w, cin)
+            )
+            hcol = jax.lax.conv_general_dilated(
+                tile, kernel, (1, 1),
+                [(0, 0), (1, 1)],  # VALID in H (halo provided), SAME in W
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + cbias
+            return hcol  # [b, rows, w, hid]
+
+        if train:
+            # pass 1: batch statistics, tile-streamed and rematerialized so
+            # AD keeps no hidden tiles
+            @jax.checkpoint
+            def stat_tile(k):
+                hcol = conv_tile(k)
+                return (
+                    jnp.sum(hcol, axis=(0, 1, 2)),
+                    jnp.sum(hcol * hcol, axis=(0, 1, 2)),
+                )
+
+            s_parts, s2_parts = jax.lax.map(stat_tile, jnp.arange(chunks))
+            s, s2 = jnp.sum(s_parts, axis=0), jnp.sum(s2_parts, axis=0)
+            n = b * h * w
+            mean = s / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 0.9, (b, 1, 1, hid)
+            )
+            drop_scale = keep.astype(x.dtype) / 0.9
+        else:
+            mean, var = ra_mean.value, ra_var.value
+            drop_scale = jnp.ones((b, 1, 1, hid), x.dtype)
+
+        inv = jax.lax.rsqrt(var + 1e-5) * scale
+        shift = bias - mean * inv
+        ok2 = out_kernel.reshape(hid, self.num_classes)
+
+        @jax.checkpoint
+        def apply_tile(k):
+            hcol = conv_tile(k)
+            a = jnp.maximum(hcol * inv + shift, 0.0) * drop_scale
+            return jnp.einsum("bhwc,co->bhwo", a, ok2)
+
+        out = jax.lax.map(apply_tile, jnp.arange(chunks))
+        # [chunks, b, rows, w, C] -> [b, h, w, C]
+        out = jnp.transpose(out, (1, 0, 2, 3, 4)).reshape(
+            b, h, w, self.num_classes
+        )
+        return out
