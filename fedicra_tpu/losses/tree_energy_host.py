@@ -57,46 +57,22 @@ def multi_scale_tree_loss_host(
     low_f = flat(low)
     a_f = [flat(aux1), flat(aux2), flat(aux3)]
 
-    AS = _filter_fwd(low_f, prob_f, eu, ev, sigma, True)
-    chain = [AS]
-    cur = AS
-    for af in a_f:
-        src = cur if recursive else AS
-        nxt = _filter_fwd(af, src, eu, ev, sigma, False)
-        chain.append(nxt)
-        cur = nxt
-    AS3 = chain[-1]
-
-    roi_f = rois.reshape(b, V, 1).astype(np.float32)
-    n = float(roi_f.sum())
-    diff = prob_f - AS3
-    loss_raw = float((roi_f * np.abs(diff)).sum())
-    denom = n if n > 0 else 1.0
-    loss = weight * loss_raw / denom
-
-    # backward
-    scale = weight / denom
-    sgn = np.sign(diff).astype(np.float32)
-    d_prob = scale * roi_f * sgn  # direct term
-    d_AS3 = -scale * roi_f * sgn
-
-    d_aux = [None, None, None]
-    if recursive:
-        g = d_AS3
-        for k in range(2, -1, -1):
-            src = chain[k]  # input to filter k (AS_{k}); chain[k+1] = output
-            dx, dembed = _filter_bwd(a_f[k], src, g, eu, ev, sigma, False)
-            d_aux[k] = dembed
-            g = dx
-        # g is now the cotangent on AS (the low-filter output)
-        d_prob_filter, _ = _filter_bwd(low_f, prob_f, g, eu, ev, sigma, True)
-        d_prob = d_prob + d_prob_filter
-    else:
-        # additive variant: loss uses all three AS_k independently from AS
+    if not recursive:
         raise NotImplementedError(
             "host path implements the recursive ('Ours') variant; the "
             "additive variant runs on the device path"
         )
+
+    roi_b = rois.reshape(b, V).astype(np.float32)
+    n = float(roi_b.sum())
+    scale = weight / (n if n > 0 else 1.0)
+
+    from .. import native
+
+    loss, d_prob, d_a1, d_a2, d_a3 = native.tree_energy_chain_host(
+        low_f, prob_f, a_f[0], a_f[1], a_f[2], roi_b, scale, sigma, eu, ev
+    )
+    d_aux = [d_a1, d_a2, d_a3]
 
     unflat = lambda t, ch: t.reshape(b, h, w, ch)
     return (

@@ -160,3 +160,55 @@ def tree_filter_host_batch(
     if want_grad:
         return y, dx, dembed
     return y
+
+
+def tree_energy_chain_host(
+    low: np.ndarray,   # [B,V,D]
+    prob: np.ndarray,  # [B,V,C]
+    a1: np.ndarray,
+    a2: np.ndarray,
+    a3: np.ndarray,
+    roi: np.ndarray,   # [B,V]
+    scale: float,
+    sigma: float,
+    eu: np.ndarray,
+    ev: np.ndarray,
+):
+    """Single-call recursive tree-energy chain: returns
+    (loss_scalar, d_prob, d_a1, d_a2, d_a3). ``scale`` = weight/max(N,1)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no g++?)")
+    low = np.ascontiguousarray(low, np.float32)
+    prob = np.ascontiguousarray(prob, np.float32)
+    a1 = np.ascontiguousarray(a1, np.float32)
+    a2 = np.ascontiguousarray(a2, np.float32)
+    a3 = np.ascontiguousarray(a3, np.float32)
+    roi = np.ascontiguousarray(roi, np.float32)
+    eu = np.ascontiguousarray(eu, np.int32)
+    ev = np.ascontiguousarray(ev, np.int32)
+    B, V, D = low.shape
+    C = prob.shape[2]
+    E = eu.shape[0]
+    loss = np.zeros((B,), np.float32)
+    d_prob = np.zeros_like(prob)
+    d_a1 = np.zeros_like(a1)
+    d_a2 = np.zeros_like(a2)
+    d_a3 = np.zeros_like(a3)
+    fn = lib.tree_energy_chain_host
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    fn.argtypes = (
+        [ctypes.POINTER(ctypes.c_float)] * 6
+        + [ctypes.c_float, ctypes.c_float]
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+        + [ctypes.c_int] * 5
+        + [ctypes.POINTER(ctypes.c_float)] * 5
+    )
+    fn(
+        fp(low), fp(prob), fp(a1), fp(a2), fp(a3), fp(roi),
+        ctypes.c_float(scale), ctypes.c_float(sigma), ip(eu), ip(ev),
+        E, B, V, D, C,
+        fp(loss), fp(d_prob), fp(d_a1), fp(d_a2), fp(d_a3),
+    )
+    return float(loss.sum()), d_prob, d_a1, d_a2, d_a3

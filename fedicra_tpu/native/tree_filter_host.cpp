@@ -269,3 +269,220 @@ void tree_filter_host_batch(const float* embed, const float* x,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Single-call recursive tree-energy chain (forward + backward), per image:
+// builds each level's MST ONCE (Kruskal over pre-sorted edges), keeps the
+// two-pass residuals, and runs the analytic backward chain in place. This
+// halves the MST work of composing tree_filter_host_batch calls and matters
+// on small-core hosts.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+#include <numeric>
+
+namespace {
+
+struct LevelState {
+  Tree t;
+  std::vector<float> w;      // edge weight to parent [V]
+  std::vector<float> A, F;   // residuals over C+1 channels
+};
+
+void mst_kruskal(const int* eu, const int* ev, const float* w, int E, int V,
+                 std::vector<uint8_t>& sel) {
+  std::vector<int> order(E);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    if (w[a] != w[b]) return w[a] < w[b];
+    return a < b;
+  });
+  DSU2 dsu(V);
+  sel.assign(E, 0);
+  int remaining = V - 1;
+  for (int oi = 0; oi < E && remaining > 0; ++oi) {
+    int i = order[oi];
+    int ru = dsu.find(eu[i]), rv = dsu.find(ev[i]);
+    if (ru == rv) continue;
+    dsu.parent[ru] = rv;
+    sel[i] = 1;
+    --remaining;
+  }
+}
+
+void build_level(const float* embed, int D, const int* eu, const int* ev,
+                 int E, int V, float inv_sigma, LevelState& L) {
+  std::vector<float> mw((size_t)E);
+  for (int i = 0; i < E; ++i) {
+    const float* a = embed + (size_t)eu[i] * D;
+    const float* b = embed + (size_t)ev[i] * D;
+    float s = 0.f;
+    for (int d = 0; d < D; ++d) {
+      float df = a[d] - b[d];
+      s += df * df;
+    }
+    mw[i] = s + 1.f;
+  }
+  std::vector<uint8_t> sel;
+  mst_kruskal(eu, ev, mw.data(), E, V, sel);
+  root_tree(eu, ev, sel, E, V, L.t);
+  L.w.assign((size_t)V, 0.f);
+  for (int v = 1; v < V; ++v) {
+    int p = L.t.parent[v];
+    const float* a = embed + (size_t)v * D;
+    const float* b = embed + (size_t)p * D;
+    float s = 0.f;
+    for (int d = 0; d < D; ++d) {
+      float df = a[d] - b[d];
+      s += df * df;
+    }
+    L.w[v] = std::exp(-s * inv_sigma);
+  }
+  L.w[0] = 0.f;
+}
+
+// forward filter of x (C channels + appended ones) through level L
+void level_forward(LevelState& L, const float* x, int V, int C,
+                   std::vector<float>& y) {
+  const int CH = C + 1;
+  std::vector<float> xin((size_t)V * CH);
+  for (int v = 0; v < V; ++v) {
+    for (int c = 0; c < C; ++c) xin[(size_t)v * CH + c] = x[(size_t)v * C + c];
+    xin[(size_t)v * CH + C] = 1.f;
+  }
+  two_pass(xin, L.w, L.t, V, CH, L.A, L.F);
+  y.resize((size_t)V * C);
+  for (int v = 0; v < V; ++v) {
+    float z = L.F[(size_t)v * CH + C];
+    for (int c = 0; c < C; ++c)
+      y[(size_t)v * C + c] = L.F[(size_t)v * CH + c] / z;
+  }
+}
+
+// backward through level L: g (dL/dy) -> dx; accumulate dembed (if embed)
+void level_backward(LevelState& L, const float* x, const float* y,
+                    const float* g, const float* embed, int D, int V, int C,
+                    float inv_sigma, std::vector<float>& dx, float* dembed) {
+  const int CH = C + 1;
+  const int CH2 = 2 * C;
+  std::vector<float> at((size_t)V * CH2);
+  for (int v = 0; v < V; ++v) {
+    float z = L.F[(size_t)v * CH + C];
+    for (int c = 0; c < C; ++c) {
+      float gv = g[(size_t)v * C + c];
+      at[(size_t)v * CH2 + c] = gv / z;
+      at[(size_t)v * CH2 + C + c] = gv * y[(size_t)v * C + c] / z;
+    }
+  }
+  std::vector<float> Aat, Fat;
+  two_pass(at, L.w, L.t, V, CH2, Aat, Fat);
+  dx.resize((size_t)V * C);
+  for (int v = 0; v < V; ++v)
+    for (int c = 0; c < C; ++c)
+      dx[(size_t)v * C + c] = Fat[(size_t)v * CH2 + c];
+
+  if (!dembed) return;
+  for (int v = 1; v < V; ++v) {
+    int p = L.t.parent[v];
+    float wv = L.w[v];
+    float s1 = 0.f, s2 = 0.f;
+    const float* Av = &L.A[(size_t)v * CH];
+    const float* Fp = &L.F[(size_t)p * CH];
+    const float* Aav = &Aat[(size_t)v * CH2];
+    const float* Fap = &Fat[(size_t)p * CH2];
+    for (int c = 0; c < C; ++c) {
+      s1 += Aav[c] * (Fp[c] - wv * Av[c]) + Av[c] * (Fap[c] - wv * Aav[c]);
+      s2 += Aav[C + c] * (Fp[C] - wv * Av[C]) +
+            Av[C] * (Fap[C + c] - wv * Aav[C + c]);
+    }
+    float dd = (s1 - s2) * (-inv_sigma * wv);
+    const float* a = embed + (size_t)v * D;
+    const float* b = embed + (size_t)p * D;
+    float* da = dembed + (size_t)v * D;
+    float* db = dembed + (size_t)p * D;
+    for (int d = 0; d < D; ++d) {
+      float g2 = dd * 2.f * (a[d] - b[d]);
+      da[d] += g2;
+      db[d] -= g2;
+    }
+  }
+}
+
+void chain_one(const float* low, const float* prob, const float* a1,
+               const float* a2, const float* a3, const float* roi,
+               float scale, float sigma, const int* eu, const int* ev, int E,
+               int V, int D, int C, float* loss_out, float* d_prob,
+               float* d_a1, float* d_a2, float* d_a3) {
+  const float* auxs[3] = {a1, a2, a3};
+  float* d_auxs[3] = {d_a1, d_a2, d_a3};
+
+  LevelState Llow;
+  build_level(low, D, eu, ev, E, V, 1.f / sigma, Llow);
+  std::vector<float> AS;
+  level_forward(Llow, prob, V, C, AS);
+
+  LevelState Lh[3];
+  std::vector<float> chain[4];
+  chain[0] = AS;
+  for (int k = 0; k < 3; ++k) {
+    build_level(auxs[k], C, eu, ev, E, V, 1.f, Lh[k]);
+    level_forward(Lh[k], chain[k].data(), V, C, chain[k + 1]);
+  }
+  const std::vector<float>& AS3 = chain[3];
+
+  float loss = 0.f;
+  std::vector<float> g((size_t)V * C);
+  for (int v = 0; v < V; ++v) {
+    float r = roi[v];
+    for (int c = 0; c < C; ++c) {
+      float diff = prob[(size_t)v * C + c] - AS3[(size_t)v * C + c];
+      loss += r * std::fabs(diff);
+      float sg = (diff > 0.f) - (diff < 0.f);
+      d_prob[(size_t)v * C + c] = scale * r * sg;  // direct term
+      g[(size_t)v * C + c] = -scale * r * sg;      // d/dAS3
+    }
+  }
+  *loss_out = scale * loss;
+
+  // backward chain through the high levels
+  for (int k = 2; k >= 0; --k) {
+    std::vector<float> dx;
+    level_backward(Lh[k], chain[k].data(), chain[k + 1].data(), g.data(),
+                   auxs[k], C, V, C, 1.f, dx, d_auxs[k]);
+    g.swap(dx);
+  }
+  // low level: gradient to prob only
+  std::vector<float> dxp;
+  level_backward(Llow, prob, AS.data(), g.data(), nullptr, D, V, C,
+                 1.f / sigma, dxp, nullptr);
+  for (size_t i = 0; i < (size_t)V * C; ++i) d_prob[i] += dxp[i];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full recursive tree-energy chain, batched. scale = weight / max(N,1)
+// precomputed by the caller over the whole batch. Outputs are zero-filled
+// by the caller. loss_out: [B] per-image (sum host-side).
+void tree_energy_chain_host(const float* low, const float* prob,
+                            const float* a1, const float* a2, const float* a3,
+                            const float* roi, float scale, float sigma,
+                            const int* eu, const int* ev, int E, int B, int V,
+                            int D, int C, float* loss_out, float* d_prob,
+                            float* d_a1, float* d_a2, float* d_a3) {
+  std::vector<std::thread> threads;
+  threads.reserve(B);
+  for (int b = 0; b < B; ++b) {
+    size_t oc = (size_t)b * V * C;
+    size_t od = (size_t)b * V * D;
+    size_t ov = (size_t)b * V;
+    threads.emplace_back(chain_one, low + od, prob + oc, a1 + oc, a2 + oc,
+                         a3 + oc, roi + ov, scale, sigma, eu, ev, E, V, D, C,
+                         loss_out + b, d_prob + oc, d_a1 + oc, d_a2 + oc,
+                         d_a3 + oc);
+  }
+  for (auto& t : threads) t.join();
+}
+
+}  // extern "C"
