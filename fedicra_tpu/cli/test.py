@@ -118,8 +118,14 @@ def run_inference(
         )[0]
         gt = labels[i]
         item = case.split("/")[-1].split(".")[0]
-        imwrite(os.path.join(test_save_path, "pre", item + "_pred.png"), pred * scale)
-        imwrite(os.path.join(test_save_path, "pre", item + "_gt.png"), gt * scale)
+        imwrite(
+            os.path.join(test_save_path, "pre", item + "_pred.png"),
+            (pred * scale).astype(np.uint8),
+        )
+        imwrite(
+            os.path.join(test_save_path, "pre", item + "_gt.png"),
+            (gt * scale).astype(np.uint8),
+        )
 
         pred = _draw_fallback_dot(pred)
         rows["name"].append(case)

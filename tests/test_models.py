@@ -118,6 +118,28 @@ def test_param_filters():
             assert k in gated
 
 
+def test_efficient_unet_shapes_and_channels():
+    m = net_factory("efficient_unet", in_chns=3, class_num=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    out = jax.eval_shape(lambda: m.apply(m.init(RNGS, x, train=False), x, train=False))
+    assert out["logits"].shape == (1, 64, 64, 2)
+    # B3 reduction channels, smp efficient_encoder parity (reversed)
+    assert [f.shape[-1] for f in out["features"]] == [384, 136, 48, 32, 40]
+
+
+def test_uncertainty_api():
+    from fedicra_tpu.evaluation.uncertainty import batch_uncertainty
+
+    m = net_factory("unet", in_chns=1, class_num=2)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 1))
+    v = m.init(RNGS, x, train=False)
+    u = batch_uncertainty(m, v["params"], v["batch_stats"], x,
+                          jax.random.PRNGKey(1), num_samples=2)
+    import numpy as np
+
+    assert np.isfinite(float(u)) and float(u) >= 0
+
+
 def test_train_mode_mutates_batch_stats():
     m = net_factory("unet", in_chns=1, class_num=2)
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 1))
