@@ -107,11 +107,23 @@ def make_round_fn(model, cfg: TrainConfig):
         start = state.current_iter
         rng = state.rng
 
+        def trainable(p):
+            if is_pcs_path(p):
+                return False
+            # torch AdamW skips parameters whose grad is None; under the
+            # pCE-only objective the DSN aux heads receive no gradient, so
+            # excluding them here reproduces "no update, no weight decay"
+            if cfg.procedure == "pce" and any(
+                s.startswith("dsn_head") for s in p
+            ):
+                return False
+            return True
+
         head_mask = path_mask(params, is_head_path)
         body_mask = path_mask(
-            params, lambda p: (not is_head_path(p)) and (not is_pcs_path(p))
+            params, lambda p: (not is_head_path(p)) and trainable(p)
         )
-        full_mask = path_mask(params, lambda p: not is_pcs_path(p))
+        full_mask = path_mask(params, trainable)
 
         if cfg.fedicra:
             n_head = cfg.iters - cfg.rep_iters

@@ -131,6 +131,14 @@ class AlaClientState(NamedTuple):
     start_phase: bool  # True until the first converged ALA run
 
 
+@jax.jit
+def _tree_abs_diff(a, b):
+    return sum(
+        jnp.sum(jnp.abs(x - y))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
 def ala_set_weights(
     model,
     cfg: TrainConfig,
@@ -150,10 +158,11 @@ def ala_set_weights(
     batches {'image': [nb,B,H,W,C], 'label': [nb,B,H,W]} — like the
     reference's re-iterated DataLoader.
     """
-    # skip conditions (flower_common.py:520-526): identical weights or early
-    first_local = jax.tree.leaves(local_params)[0]
-    first_global = jax.tree.leaves(global_params)[0]
-    identical = bool(jnp.sum(first_global - first_local) == 0)
+    # skip conditions (flower_common.py:520-526): identical weights or early.
+    # The reference checks only its first parameter (the encoder in_conv
+    # kernel, which always trains); our pytree's first leaf can be a
+    # gradient-free one, so compare the whole tree to carry the same intent.
+    identical = float(_tree_abs_diff(global_params, local_params)) == 0.0
     if identical or iter_global <= ALA_SKIP_ITERS:
         return global_params, global_stats, start_phase
 
