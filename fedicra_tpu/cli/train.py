@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--centralized", action="store_true")
     p.add_argument("--client", type=str, default="client1")
     p.add_argument("--sup_type", type=str, default="scribble")
+    p.add_argument("--sharded", action="store_true",
+                   help="run the single-program SPMD federation over the "
+                        "(client, data) device mesh instead of the "
+                        "reference-parity sequential simulator")
     return p
 
 
@@ -117,6 +121,21 @@ def main(argv=None):
         return
 
     cfg = TrainConfig.for_task(args.img_class, **overrides)
+    if args.sharded:
+        from ..federation.sharded_experiment import ShardedFederation
+
+        fed = ShardedFederation(
+            cfg,
+            data_root=args.root_path,
+            snapshot_dir=snapshot_dir,
+            limit_per_client=args.limit_per_client,
+        )
+        history = fed.run()
+        if history:
+            last = {k: v for k, v in history[-1].items() if isinstance(v, float)}
+            print(json.dumps({"final": last, "best_dice": fed.best_dice}))
+        return
+
     from ..federation import build_experiment
 
     server = build_experiment(

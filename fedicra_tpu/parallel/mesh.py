@@ -43,9 +43,11 @@ def make_mesh(
     n = len(devices)
     if num_clients is None:
         num_clients = n
+    # client axis: the largest divisor of n that also divides num_clients,
+    # so every client-axis slice hosts the same number of clients
     c = 1
     for d in range(min(num_clients, n), 0, -1):
-        if n % d == 0:
+        if n % d == 0 and num_clients % d == 0:
             c = d
             break
     shape = (c, n // c)
