@@ -30,6 +30,12 @@ from .config import TrainConfig
 
 Array = jax.Array
 
+# flax BatchNorm decay of the UNet family (models/blocks.py:102, torch
+# momentum 0.1 parity). Used to replay the sequential running-stat threading
+# after the vmapped contrast forwards; tests/test_objective_contrast.py
+# asserts equality with the sequential-loop semantics.
+_BN_DECAY = 0.9
+
 
 def _contrast_loss(
     model,
@@ -41,34 +47,54 @@ def _contrast_loss(
     rng: Array,
     cfg: TrainConfig,
 ):
-    """FedICRA cross-client heatmap contrast; returns (loss_lc, new_stats)."""
+    """FedICRA cross-client heatmap contrast; returns (loss_lc, new_stats).
+
+    All K foreign forwards run as ONE vmapped (batched) forward — a single
+    conv stack over an effective batch of K*B images on the MXU — instead of
+    a Python-unrolled loop of K forwards (reference: ..._Ours.py:153-163 does
+    the torch loop). In train mode the forward outputs depend only on batch
+    statistics, never on the running stats, so the torch-sequential
+    running-stat threading s <- d*s + (1-d)*b_k is replayed exactly from the
+    vmapped per-k results mut_k = d*s0 + (1-d)*b_k via s <- mut_k + d*(s-s0).
+    """
     K = cfg.num_clients
     sg_params = jax.lax.stop_gradient(params)
-    stats = batch_stats
-    total = jnp.zeros(())
-    for k in range(K):
-        include = jnp.asarray(k, jnp.int32) != cid
-        # quirk: foreign index 0 falls back to the *own* cid
-        emb = jnp.where(k == 0, cid, jnp.asarray(k, jnp.int32))
+    # identical dropout-key chain as the sequential reference loop
+    keys = []
+    for _ in range(K):
         rng, kd = jax.random.split(rng)
+        keys.append(kd)
+    keys = jnp.stack(keys)
+    ks = jnp.arange(K, dtype=jnp.int32)
+    # quirk: foreign index 0 falls back to the *own* cid (unet.py:186)
+    embs = jnp.where(ks == 0, cid, ks)
+
+    def one(emb, kd):
         out_k, mut = model.apply(
-            {"params": sg_params, "batch_stats": stats},
+            {"params": sg_params, "batch_stats": batch_stats},
             images,
             train=True,
             emb_idx=jnp.broadcast_to(emb, (images.shape[0],)),
             rngs={"dropout": kd},
             mutable=["batch_stats"],
         )
-        hm_k = jax.lax.stop_gradient(out_k["heatmaps"][-1])
-        mse = jnp.mean((hm_own - hm_k) ** 2)
-        total = total + jnp.where(include, mse, 0.0)
-        # BN running stats advance only for the K-1 included forwards
-        stats = jax.tree.map(
-            lambda old, new: jnp.where(include, new, old),
-            stats,
-            mut["batch_stats"],
+        return jax.lax.stop_gradient(out_k["heatmaps"][-1]), mut["batch_stats"]
+
+    hms, muts = jax.vmap(one)(embs, keys)
+    include = ks != cid
+    mses = jax.vmap(lambda hm: jnp.mean((hm_own - hm) ** 2))(hms)
+    loss_lc = -jnp.sum(jnp.where(include, mses, 0.0)) / (K - 1)
+
+    # BN running stats advance only for the K-1 included forwards, in order
+    def thread(s, xs):
+        mut_k, inc = xs
+        advanced = jax.tree.map(
+            lambda m, s_, s0: m + _BN_DECAY * (s_ - s0), mut_k, s, batch_stats
         )
-    loss_lc = -total / (K - 1)
+        s = jax.tree.map(lambda n, s_: jnp.where(inc, n, s_), advanced, s)
+        return s, None
+
+    stats, _ = jax.lax.scan(thread, batch_stats, (muts, include))
     return loss_lc, stats
 
 
