@@ -34,13 +34,20 @@ def offline_client_to_train_client(client: str) -> str:
 
 
 def _draw_fallback_dot(pred: np.ndarray) -> np.ndarray:
-    """1-px disk at (192,192) for empty predictions (test.py:227-234)."""
+    """Filled radius-1 disk at (192,192) for empty predictions.
+
+    Matches ``cv2.circle(pred, (192,192), 1, 1, -1)`` (reference
+    test.py:227-234): a 5-pixel diamond (center + 4-neighbors), so HD95/ASSD
+    on empty predictions agree with reference CSVs.
+    """
     if pred.sum() == 0:
         p = pred.astype(np.uint8).copy()
         y, x = 192, 192
-        if y < p.shape[0] and x < p.shape[1]:
-            p[max(y - 1, 0) : y + 2, max(x - 1, 0) : x + 2] = 0
-            p[y, x] = 1
+        h, w = p.shape[:2]
+        for dy, dx in ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)):
+            yy, xx = y + dy, x + dx
+            if 0 <= yy < h and 0 <= xx < w:
+                p[yy, xx] = 1
         return p
     return pred
 

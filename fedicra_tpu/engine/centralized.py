@@ -33,8 +33,14 @@ def train_centralized(
     eval_iters: Optional[int] = None,
     snapshot_dir: Optional[str] = None,
     seed: Optional[int] = None,
+    batcher=None,
+    loss_log: Optional[list] = None,
 ):
-    """Runs the centralized pCE baseline; returns (state_dict, history)."""
+    """Runs the centralized pCE baseline; returns (state_dict, history).
+
+    ``batcher`` overrides the EpochBatcher (any object with batch_at(it) —
+    used by the cross-framework parity tests to inject fixed batches);
+    ``loss_log`` when given collects the per-iteration train losses."""
     max_iterations = max_iterations or cfg.max_iterations
     eval_iters = eval_iters or cfg.eval_iters
     seed = cfg.seed if seed is None else seed
@@ -51,9 +57,10 @@ def train_centralized(
     wd = 1e-4
     opt_state = opt.init(params)
 
-    batcher = EpochBatcher(
-        train_split, cfg.batch_size, cfg.num_classes, cfg.img_class, seed=seed
-    )
+    if batcher is None:
+        batcher = EpochBatcher(
+            train_split, cfg.batch_size, cfg.num_classes, cfg.img_class, seed=seed
+        )
     writer = MetricsWriter(snapshot_dir)
 
     @jax.jit
@@ -86,6 +93,8 @@ def train_centralized(
         params, batch_stats, opt_state, rng, loss = step(
             params, batch_stats, opt_state, rng, batch
         )
+        if loss_log is not None:
+            loss_log.append(float(loss))
         if (it + 1) % eval_iters == 0:
             m = evaluate_client(
                 model, params, batch_stats, val_split.images, val_split.labels,

@@ -57,7 +57,11 @@ class FederatedServer:
         self.current_round = 0  # in global-iteration units
         self.history: List[Dict] = []
 
-    def fit_round(self, current_round: int) -> Dict[str, float]:
+    def fit_round(self, current_round: int) -> Optional[Dict[str, float]]:
+        """One fit round. Returns None (round aborted, no aggregation) when
+        any client fails — the reference's accept_failures=False semantics
+        (..._Ours.py:377): a failed round never contaminates the global
+        weights; MyServer logs and continues (flower_common.py:263-265)."""
         fit_config = {
             "iter_global": current_round,
             "iters": self.cfg.iters,
@@ -66,7 +70,15 @@ class FederatedServer:
         }
         results = []
         for client in self.clients:
-            res = client.fit(FitIns(self.global_payload, fit_config))
+            try:
+                res = client.fit(FitIns(self.global_payload, fit_config))
+            except Exception as exc:  # dropped client / transport failure
+                print(
+                    f"[round {current_round}] client {client.cid} fit failed "
+                    f"({type(exc).__name__}: {exc}); aborting round",
+                    flush=True,
+                )
+                return None
             results.append(res)
 
         payloads = [r.payload for r in results]
@@ -95,12 +107,25 @@ class FederatedServer:
                 self.writer.write_image(current_round, k, metrics.pop(k))
         return metrics
 
-    def evaluate_round(self, current_round: int) -> Dict[str, float]:
+    def evaluate_round(self, current_round: int) -> Optional[Dict[str, float]]:
+        """One evaluate round; None when any client fails (the reference's
+        MyServer logs `continue`s on a failed evaluate_round,
+        flower_common.py:303-306)."""
         eval_config = {"iter_global": current_round}
         all_metrics: Dict[str, float] = {}
         weights = {}
         for client in self.clients:
-            res = client.evaluate(EvaluateIns(self.global_payload, eval_config))
+            try:
+                res = client.evaluate(
+                    EvaluateIns(self.global_payload, eval_config)
+                )
+            except Exception as exc:
+                print(
+                    f"[round {current_round}] client {client.cid} evaluate "
+                    f"failed ({type(exc).__name__}: {exc}); skipping eval",
+                    flush=True,
+                )
+                return None
             all_metrics.update(res.metrics)
             weights[client.cid] = res.num_examples
 
@@ -145,11 +170,16 @@ class FederatedServer:
             round_t0 = time.perf_counter()
             fit_metrics = self.fit_round(current_round)
             self.current_round = current_round
+            if fit_metrics is None:  # aborted round: log and continue
+                self.history.append({"round": current_round, "aborted": True})
+                continue
             self.writer.write(current_round, fit_metrics)
 
             record = {"round": current_round, **fit_metrics}
             if current_round % self.cfg.eval_iters == 0:
                 eval_metrics = self.evaluate_round(current_round)
+                if eval_metrics is None:
+                    eval_metrics = {}
                 self.writer.write(current_round, eval_metrics)
                 record.update(eval_metrics)
                 mean_dice = eval_metrics.get("val_mean_dice", 0.0)

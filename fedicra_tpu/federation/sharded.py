@@ -14,10 +14,16 @@ XLA program:
   an ICI psum — per-round aggregation overhead is a collective, not a gRPC
   transfer of the full state_dict (reference: flower_common.py:63-71).
 
-ALA inside this program uses the steady-state regime (single gate-learning
-epoch, lax.cond-gated on iter_global > 50); the first-round
-converge-until-std loop exists only in the host-driven simulator
-(federation/ala.py), matching the reference's behaviour after round one.
+ALA inside this program covers both regimes (flower_common.py:604-620):
+the steady-state single gate-learning epoch, and the first-round
+converge-until-std loop as a bounded lax.while_loop carrying the ring of the
+last 10 per-epoch losses (threshold 0.1, cap ALA_MAX_EPOCHS). Whether a
+round is the first ALA round is derived from iter_global: ALA is skipped
+while iter_global <= 50 and rounds advance by cfg.iters, so the first run is
+exactly the round with iter_global - cfg.iters <= 50 < iter_global.
+Deviation (documented): each while_loop epoch replays the same ala_batches
+tensor (fresh dropout rng per epoch) instead of re-sampling the DataLoader —
+consistent with the reference's own epoch-cached batch replay (quirk #9).
 """
 
 from __future__ import annotations
@@ -27,67 +33,60 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from flax import traverse_util
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..engine.config import TrainConfig
 from ..engine.trainer import ClientState, make_round_fn
-from ..losses.partial import partial_cross_entropy
-from ..models.params_filters import is_ala_gated_path
-from .ala import ALA_ETA, ALA_SKIP_ITERS
+from .ala import (
+    ALA_MAX_EPOCHS,
+    ALA_NUM_PRE_LOSS,
+    ALA_SKIP_ITERS,
+    ALA_STD_THRESHOLD,
+    _merge,
+    _split_gated,
+    make_ala_epoch_fn,
+)
 from .strategies import stacked_weighted_mean
 
 Array = jax.Array
 
 
-def _ala_merge_one_epoch(model, cfg, local_params, global_params, stats,
-                         ala_batches, rng, cid):
-    """One fixed-shape gate-learning epoch (steady-state ALA)."""
-    flat_local = traverse_util.flatten_dict(local_params)
-    flat_global = traverse_util.flatten_dict(global_params)
-    gated_keys = [k for k in flat_local if is_ala_gated_path(k)]
-    local_g = {k: flat_local[k] for k in gated_keys}
-    global_g = {k: flat_global[k] for k in gated_keys}
-    rest = {k: flat_global[k] for k in flat_global if k not in local_g}
-    gates = {k: jnp.ones_like(v) for k, v in local_g.items()}
+def _ala_merge_spmd(ala_epoch_fn, local_params, global_params, stats,
+                    ala_batches, rng, cid, first_run):
+    """Compiled ALA merge: steady state = one gate-learning epoch; first run
+    = epochs until std(last 10 per-epoch losses) < 0.1, capped (the
+    reference's converge-until-std loop, flower_common.py:604-620), as a
+    bounded lax.while_loop. Shares the epoch body with the host simulator
+    (federation/ala.py::make_ala_epoch_fn), so both paths are one code."""
+    local_g, _ = _split_gated(local_params)
+    global_g, global_rest = _split_gated(global_params)
+    gates0 = {k: jnp.ones_like(v) for k, v in local_g.items()}  # quirk #3
+    ring0 = jnp.full((ALA_NUM_PRE_LOSS,), 1e6, jnp.float32)
 
-    def step(carry, batch):
-        gates, rng = carry
-        rng, kd = jax.random.split(rng)
-        merged = traverse_util.unflatten_dict(
-            {**rest, **{k: global_g[k] + (local_g[k] - global_g[k]) * gates[k]
-                        for k in gates}}
+    def cond(carry):
+        _, _, ring, n = carry
+        ran_once = n >= 1
+        steady_done = ran_once & jnp.logical_not(first_run)
+        converged = (n > ALA_NUM_PRE_LOSS) & (jnp.std(ring) < ALA_STD_THRESHOLD)
+        first_done = ran_once & first_run & (converged | (n >= ALA_MAX_EPOCHS))
+        return jnp.logical_not(steady_done | first_done)
+
+    def body(carry):
+        gates, rng_, ring, n = carry
+        rng_, k = jax.random.split(rng_)
+        gates, last_loss = ala_epoch_fn(
+            gates, local_g, global_g, global_rest, stats, ala_batches, k, cid
         )
+        ring = jnp.roll(ring, -1).at[-1].set(last_loss)
+        return gates, rng_, ring, n + 1
 
-        def ce(p):
-            out = model.apply(
-                {"params": p, "batch_stats": stats},
-                batch["image"],
-                train=True,
-                emb_idx=jnp.broadcast_to(cid, (batch["image"].shape[0],)),
-                rngs={"dropout": kd},
-                mutable=["batch_stats"],
-            )[0]
-            return partial_cross_entropy(out["logits"], batch["label"],
-                                         cfg.num_classes)
-
-        grads = jax.grad(ce)(merged)
-        flat_grads = traverse_util.flatten_dict(grads)
-        gates = {
-            k: jnp.clip(
-                gates[k] - ALA_ETA * flat_grads[k] * (local_g[k] - global_g[k]),
-                0.0, 1.0,
-            )
-            for k in gates
-        }
-        return (gates, rng), None
-
-    (gates, _), _ = jax.lax.scan(step, (gates, rng), ala_batches)
-    merged = traverse_util.unflatten_dict(
-        {**rest, **{k: global_g[k] + (local_g[k] - global_g[k]) * gates[k]
-                    for k in gates}}
+    gates, _, _, _ = jax.lax.while_loop(
+        cond, body, (gates0, rng, ring0, jnp.asarray(0, jnp.int32))
     )
-    return merged
+    merged_g = {
+        k: global_g[k] + (local_g[k] - global_g[k]) * gates[k] for k in gates
+    }
+    return _merge(merged_g, global_rest)
 
 
 def make_sharded_round_fn(model, cfg: TrainConfig, mesh):
@@ -102,15 +101,22 @@ def make_sharded_round_fn(model, cfg: TrainConfig, mesh):
     weights: [K] float (client batch counts — the FedAvg weighting)
     """
     round_fn = make_round_fn(model, cfg)
+    ala_epoch_fn = make_ala_epoch_fn(model, cfg) if cfg.fedicra else None
 
     def client_step(state: ClientState, global_payload, batches, ala_batches,
                     iter_global, cid):
         gp, gs = global_payload["params"], global_payload["batch_stats"]
         if cfg.fedicra and ala_batches is not None:
+            # first ALA run <=> the first round past the skip horizon
+            # (rounds advance by cfg.iters; see module docstring)
+            first_run = (iter_global > ALA_SKIP_ITERS) & (
+                iter_global - cfg.iters <= ALA_SKIP_ITERS
+            )
+
             def do_ala(operand):
                 lp, rng = operand
-                return _ala_merge_one_epoch(
-                    model, cfg, lp, gp, gs, ala_batches, rng, cid
+                return _ala_merge_spmd(
+                    ala_epoch_fn, lp, gp, gs, ala_batches, rng, cid, first_run
                 )
 
             def skip(operand):

@@ -31,6 +31,12 @@ from .api import EvaluateIns, EvaluateRes, FitIns, FitRes
 
 _LEN = struct.Struct("!Q")
 
+# Payload sanity cap: the round payload is the full model state (a few MB at
+# the reference's 1.8M params); anything near this bound is a corrupt or
+# malicious length header, and rejecting it up front fails the round fast
+# instead of blocking in _recv_exact until the peer times out.
+MAX_MSG_BYTES = 4 << 30
+
 
 def _tree_to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
@@ -38,12 +44,18 @@ def _tree_to_numpy(tree):
 
 def send_msg(sock: socket.socket, obj: Any) -> None:
     data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    if len(data) > MAX_MSG_BYTES:
+        raise ValueError(f"message of {len(data)} bytes exceeds cap")
     sock.sendall(_LEN.pack(len(data)) + data)
 
 
 def recv_msg(sock: socket.socket) -> Any:
     header = _recv_exact(sock, _LEN.size)
     (length,) = _LEN.unpack(header)
+    if length > MAX_MSG_BYTES:
+        raise ConnectionError(
+            f"malformed message header: length {length} exceeds cap"
+        )
     return pickle.loads(_recv_exact(sock, length))
 
 
@@ -61,23 +73,37 @@ class RemoteClientProxy:
     """Server-side handle implementing the FederatedClient interface over a
     socket (fit / evaluate / num_batches)."""
 
-    def __init__(self, sock: socket.socket, cid: int, num_batches: int):
+    def __init__(
+        self,
+        sock: socket.socket,
+        cid: int,
+        num_batches: int,
+        round_timeout: Optional[float] = None,
+    ):
         self.sock = sock
         self.cid = cid
         self.num_batches = num_batches
+        self.round_timeout = round_timeout  # None = wait forever (reference
+        # parity: round_timeout=None, ..._Ours.py:405)
         self.state = None  # remote; not introspectable
 
     def fit(self, ins: FitIns) -> FitRes:
+        self.sock.settimeout(self.round_timeout)
         send_msg(self.sock, ("fit", _tree_to_numpy(ins.payload), ins.config))
         kind, payload, num, metrics, dur = recv_msg(self.sock)
-        assert kind == "fit_res"
+        if kind != "fit_res":
+            raise ConnectionError(f"unexpected reply kind {kind!r} to fit")
         return FitRes(payload=payload, num_examples=num, metrics=metrics,
                       fit_duration=dur)
 
     def evaluate(self, ins: EvaluateIns) -> EvaluateRes:
+        self.sock.settimeout(self.round_timeout)
         send_msg(self.sock, ("evaluate", _tree_to_numpy(ins.payload), ins.config))
         kind, loss, num, metrics = recv_msg(self.sock)
-        assert kind == "evaluate_res"
+        if kind != "evaluate_res":
+            raise ConnectionError(
+                f"unexpected reply kind {kind!r} to evaluate"
+            )
         return EvaluateRes(loss=loss, num_examples=num, metrics=metrics)
 
     def close(self):

@@ -48,8 +48,13 @@ def net_factory(
     num_clients: int = 5,
     client_id: int = 0,
     pcs_num: int = 1,
+    dropout=None,
 ) -> Any:
     if net_type == "unet":
+        if dropout is not None:
+            return UNet(
+                in_chns=in_chns, num_classes=class_num, dropout=tuple(dropout)
+            )
         return UNet(in_chns=in_chns, num_classes=class_num)
     if net_type == "unet_cct":
         return UNetCCT(in_chns=in_chns, num_classes=class_num)

@@ -263,14 +263,20 @@ def channel_dropout(key: Array, x: Array, p: float = 0.5) -> Array:
 
 
 class UNet(nn.Module):
-    """Plain U-Net (unet.py:549-566)."""
+    """Plain U-Net (unet.py:549-566).
+
+    ``dropout`` overrides the per-stage encoder dropout rates (the
+    cross-framework trajectory tests set it to zeros so torch and JAX runs
+    are deterministic without matching dropout RNG streams).
+    """
 
     in_chns: int
     num_classes: int
+    dropout: Sequence[float] = DEFAULT_DROPOUT
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False, emb_idx=None):
-        feature = Encoder(name="encoder")(x, train=train)
+        feature = Encoder(dropout=self.dropout, name="encoder")(x, train=train)
         out = Decoder(self.num_classes, name="decoder")(feature, train=train)
         out["features"] = feature
         return out

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from flax import traverse_util
 
 from fedicra_tpu.data import EpochBatcher, make_synthetic_split

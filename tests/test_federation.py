@@ -4,6 +4,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow
 from flax import traverse_util
 
 from fedicra_tpu.engine import TrainConfig

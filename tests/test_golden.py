@@ -7,6 +7,10 @@ the trajectory; a change signals an (intended or not) numerical behaviour
 change and the values must be re-baselined consciously.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

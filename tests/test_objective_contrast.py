@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from fedicra_tpu.engine import TrainConfig
 from fedicra_tpu.engine.objective import _contrast_loss
 from fedicra_tpu.models import net_factory

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from fedicra_tpu.engine import TrainConfig
 from fedicra_tpu.federation.sharded_experiment import ShardedFederation
 from fedicra_tpu.parallel.mesh import make_mesh

@@ -12,9 +12,10 @@ from fedicra_tpu.data import EpochBatcher, make_synthetic_split
 from fedicra_tpu.engine import TrainConfig, init_client_state, make_round_fn
 from fedicra_tpu.engine.split_trainer import make_split_round_fn
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="native lib unavailable"
-)
+pytestmark = [
+    pytest.mark.skipif(not native.available(), reason="native lib unavailable"),
+    pytest.mark.slow,
+]
 
 
 def test_split_round_matches_monolithic():

@@ -1,5 +1,9 @@
 """Task-config coverage (FAZ 1-channel, Polyp 4-client) + checkpoint resume."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 
 import jax
