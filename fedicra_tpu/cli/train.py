@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_size", type=int, default=None,
                    help="override task default (faz 256 / odoc 384)")
     p.add_argument("--amp", type=int, default=0)
+    p.add_argument("--encoder_weights", type=str, default=None,
+                   help="efficientnet-pytorch B3 .pth for efficient_unet "
+                        "(reference parity: encoder_weights='imagenet')")
     p.add_argument("--seed", type=int, default=2022)
     p.add_argument("--snapshot_root", type=str, default="../model")
     p.add_argument("--limit_per_client", type=int, default=None,
@@ -79,6 +82,7 @@ def main(argv=None):
         tree_loss_weight=args.tree_loss_weight,
         amp=bool(args.amp),
         seed=args.seed,
+        encoder_weights=args.encoder_weights,
     )
     if args.img_size:
         overrides["img_size"] = args.img_size

@@ -83,6 +83,10 @@ class TrainConfig:
     gatecrf_radius: int = 5
     amp: bool = False  # bf16 compute
     seed: int = 2022
+    # path to an efficientnet-pytorch B3 .pth for the efficient_unet encoder
+    # (the reference always loads encoder_weights='imagenet',
+    # net_factory.py:16-17; offline builds must supply the file)
+    encoder_weights: str = None
 
     @property
     def fedicra(self) -> bool:

@@ -2,19 +2,30 @@
 
 Some PJRT runtimes (notably tunneled dev TPUs) cannot run host callbacks
 inside jit, which blocks the pure_callback tree-filter offload. This trainer
-achieves the same computation with an explicit three-phase step:
+achieves the same computation with an explicit pipelined step:
 
   part1 (jit): the main forward; returns softmax probs + full-res-resized
-          aux heads (same rng as part2's forward, so activations match).
+          aux heads (same rng as the backward parts, so activations match).
+  part2a (jit): dispatched immediately after part1 — value_and_grad of every
+          tree-independent term (partial CE + gated CRF + cross-client
+          contrast). It depends only on (params, batch); the device chews on
+          it WHILE the host runs the tree chain, hiding the host time.
   host:   the native C++ multi-scale tree loss forward + analytic cotangents
           (losses/tree_energy_host.py) on (prob, image, aux, ROI).
-  part2 (jit): the full objective where the tree term is *injected linearly*
-          — lin - stop_grad(lin) + const — so its gradient is exactly the
-          host cotangents while CE/GatedCRF/contrast differentiate natively;
-          then the masked-AdamW phase update, all in one dispatch.
+  part2b (jit): the tree term's gradient via the *injected linear* objective
+          — lin - stop_grad(lin) + const, whose gradient is exactly the host
+          cotangents — added to part2a's gradients, then the masked-AdamW
+          phase update, all in one dispatch.
 
-Gradient equality with the monolithic device path is exact up to float
-order; verified in tests/test_split_trainer.py.
+Gradients equal the monolithic device path up to float order (grads add
+linearly across the split); verified in tests/test_split_trainer.py.
+
+Transfer precision: on accelerator backends the device<->host tensors
+(probs/aux down, cotangents up) travel as bfloat16 — halving the dominant
+tunnel/PCIe cost for inputs that feed an exp(-d) kernel and a 0.1-weighted
+regularizer — while the loss *value* stays fp32. Override with
+FEDICRA_TREE_TRANSFER_DTYPE=float32 (CPU backends already default to fp32
+so the split==monolithic tests stay exact). See PARITY.md.
 
 The FedICRA head/body phase structure, per-round optimizer reset, poly LR,
 and rng derivation mirror engine/trainer.py so trajectories agree.
@@ -22,6 +33,7 @@ and rng derivation mirror engine/trainer.py so trajectories agree.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, Tuple
 
@@ -39,6 +51,13 @@ from .objective import _contrast_loss
 from .trainer import ClientState, _adamw, _masked_opt, poly_lr
 
 Array = jax.Array
+
+
+def _transfer_dtype():
+    env = os.environ.get("FEDICRA_TREE_TRANSFER_DTYPE")
+    if env:
+        return jnp.bfloat16 if env == "bfloat16" else jnp.float32
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
 
 
 def supports_host_callbacks() -> bool:
@@ -59,8 +78,9 @@ def supports_host_callbacks() -> bool:
 
 def make_split_round_fn(model, cfg: TrainConfig):
     """Round function with the same (state, batches, cid) contract as
-    trainer.make_round_fn, executed as a host-orchestrated python loop."""
+    trainer.make_round_fn, executed as a host-orchestrated pipelined loop."""
     H = W = cfg.img_size
+    tdtype = _transfer_dtype()
 
     @jax.jit
     def part1(params, batch_stats, k, images, cid):
@@ -75,14 +95,11 @@ def make_split_round_fn(model, cfg: TrainConfig):
         )
         probs = jax.nn.softmax(out["logits"], axis=-1)
         aux_r = [_resize_bilinear(a, (H, W)) for a in out["aux"]]
-        return probs, aux_r[0], aux_r[1], aux_r[2]
+        return tuple(t.astype(tdtype) for t in (probs, *aux_r))
 
-    def loss_fn(params, batch_stats, k, batch, cid, tree_val, dp, d1, d2, d3):
-        images, labels = batch["image"], batch["label"]
-        rng, kd = jax.random.split(k)
+    def _forward(params, batch_stats, kd, images, cid):
+        """The shared (rematerialized) training forward."""
 
-        # remat the main forward: its activations (~GBs at 384^2 bs12) are
-        # recomputed in the backward pass instead of held in HBM
         @jax.checkpoint
         def fwd(p):
             out, mut = model.apply(
@@ -100,61 +117,77 @@ def make_split_round_fn(model, cfg: TrainConfig):
                 mut["batch_stats"],
             )
 
-        logits, aux, hm_own, new_stats = fwd(params)
-        out = {"logits": logits, "aux": list(aux), "heatmaps": [hm_own]}
-        probs = jax.nn.softmax(logits, axis=-1)
+        return fwd(params)
 
+    def loss_a_fn(params, batch_stats, k, batch, cid):
+        """Every term that does NOT need the host tree results."""
+        images, labels = batch["image"], batch["label"]
+        rng, kd = jax.random.split(k)
+        logits, _, hm_own, new_stats = _forward(
+            params, batch_stats, kd, images, cid
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
         loss_ce = partial_cross_entropy(logits, labels, cfg.num_classes)
         loss_crf = gated_crf_loss(probs, images, radius=cfg.gatecrf_radius)
-
-        # injected tree term: value = host scalar, gradient = host cotangents
-        aux_r = [_resize_bilinear(a, (H, W)) for a in out["aux"]]
-        lin = (
-            jnp.sum(probs * jax.lax.stop_gradient(dp))
-            + jnp.sum(aux_r[0] * jax.lax.stop_gradient(d1))
-            + jnp.sum(aux_r[1] * jax.lax.stop_gradient(d2))
-            + jnp.sum(aux_r[2] * jax.lax.stop_gradient(d3))
-        )
-        loss_tree = lin - jax.lax.stop_gradient(lin) + tree_val
-
-        loss = loss_ce + loss_tree + cfg.gatecrf_weight * loss_crf
-        metrics = {
-            "loss_ce": loss_ce,
-            "loss_tree": loss_tree,
-            "loss_crf": loss_crf,
-        }
+        loss = loss_ce + cfg.gatecrf_weight * loss_crf
+        metrics = {"loss_ce": loss_ce, "loss_crf": loss_crf}
         if cfg.fedicra:
-            hm_own = out["heatmaps"][-1]
             loss_lc, new_stats = _contrast_loss(
                 model, params, new_stats, images, hm_own, cid, rng, cfg
             )
             loss = loss + cfg.alpha * loss_lc
             metrics["loss_lc"] = loss_lc
-        metrics["total_loss"] = loss
         vis_idx = min(1, logits.shape[0] - 1)
         metrics["vis_pred"] = jnp.argmax(logits[vis_idx], -1).astype(jnp.int32)
         return loss, (new_stats, metrics)
 
-    def make_part2(mask_predicate):
+    @jax.jit
+    def part2a(params, stats, k, batch, cid):
+        (loss_a, (new_stats, metrics)), grads_a = jax.value_and_grad(
+            loss_a_fn, has_aux=True
+        )(params, stats, k, batch, cid)
+        return grads_a, new_stats, loss_a, metrics
+
+    def loss_tree_fn(params, batch_stats, k, batch, cid, dp, d1, d2, d3):
+        """The injected tree term: gradient == host cotangents."""
+        images = batch["image"]
+        _, kd = jax.random.split(k)
+        logits, aux, _, _ = _forward(params, batch_stats, kd, images, cid)
+        probs = jax.nn.softmax(logits, axis=-1)
+        aux_r = [_resize_bilinear(a, (H, W)) for a in aux]
+        lin = (
+            jnp.sum(probs * jax.lax.stop_gradient(dp).astype(probs.dtype))
+            + jnp.sum(aux_r[0] * jax.lax.stop_gradient(d1).astype(probs.dtype))
+            + jnp.sum(aux_r[1] * jax.lax.stop_gradient(d2).astype(probs.dtype))
+            + jnp.sum(aux_r[2] * jax.lax.stop_gradient(d3).astype(probs.dtype))
+        )
+        return lin - jax.lax.stop_gradient(lin)
+
+    def make_part2b(mask_predicate):
         @jax.jit
-        def part2(params, stats, opt_state, lr, k, batch, cid,
-                  tree_val, dp, d1, d2, d3):
+        def part2b(params, stats, opt_state, lr, k, batch, cid,
+                   grads_a, new_stats, loss_a, metrics_a,
+                   tree_val, dp, d1, d2, d3):
             mask = path_mask(params, mask_predicate)
             opt = _masked_opt(_adamw(lr), mask)
-            (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, stats, k, batch, cid, tree_val, dp, d1, d2, d3)
+            grads_t = jax.grad(loss_tree_fn)(
+                params, stats, k, batch, cid, dp, d1, d2, d3
+            )
+            grads = jax.tree.map(jnp.add, grads_a, grads_t)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            metrics = dict(metrics_a)
+            metrics["loss_tree"] = tree_val
+            metrics["total_loss"] = loss_a + tree_val
             return params, new_stats, opt_state, metrics
 
-        return part2
+        return part2b
 
-    part2_head = make_part2(is_head_path)
-    part2_body = make_part2(
+    part2b_head = make_part2b(is_head_path)
+    part2b_body = make_part2b(
         lambda p: (not is_head_path(p)) and (not is_pcs_path(p))
     )
-    part2_full = make_part2(lambda p: not is_pcs_path(p))
+    part2b_full = make_part2b(lambda p: not is_pcs_path(p))
 
     def _opt_init(params, predicate):
         mask = path_mask(params, predicate)
@@ -187,32 +220,42 @@ def make_split_round_fn(model, cfg: TrainConfig):
                 "label": batches["label"][i],
             }
             rng, k = jax.random.split(rng)
-            probs, a1, a2, a3 = part1(params, stats, k, batch["image"], cid_arr)
-
+            p1_out = part1(params, stats, k, batch["image"], cid_arr)
+            # fetch part1's outputs FIRST (tunneled runtimes serialize
+            # transfers with compute, so fetching after dispatching part2a
+            # would block behind it), then dispatch part2a asynchronously:
+            # the device executes it while the host runs the tree chain
+            probs_h, a1_h, a2_h, a3_h = (
+                np.asarray(t, dtype=np.float32) for t in p1_out
+            )
+            grads_a, new_stats, loss_a, metrics_a = part2a(
+                params, stats, k, batch, cid_arr
+            )
             img_np = images_np[i]
             low = img_np if img_np.shape[-1] == 3 else np.repeat(img_np, 3, -1)
             rois = (labels_np[i] == cfg.num_classes).astype(np.float32)
             tree_val, dpn, d1n, d2n, d3n = multi_scale_tree_loss_host(
-                np.asarray(probs), low, np.asarray(a1), np.asarray(a2),
-                np.asarray(a3), rois, cfg.tree_loss_weight,
+                probs_h, low, a1_h, a2_h, a3_h, rois, cfg.tree_loss_weight,
             )
+            cot = [
+                jnp.asarray(c, dtype=tdtype) for c in (dpn, d1n, d2n, d3n)
+            ]
             lr = poly_lr(cfg.base_lr, it, cfg.max_iterations)
             args = (
-                lr, k, batch, cid_arr,
-                jnp.float32(tree_val), jnp.asarray(dpn), jnp.asarray(d1n),
-                jnp.asarray(d2n), jnp.asarray(d3n),
+                lr, k, batch, cid_arr, grads_a, new_stats, loss_a, metrics_a,
+                jnp.float32(tree_val), *cot,
             )
             if cfg.fedicra:
                 if i < n_head:
-                    params, stats, opt_state_h, m = part2_head(
+                    params, stats, opt_state_h, m = part2b_head(
                         params, stats, opt_state_h, *args
                     )
                 else:
-                    params, stats, opt_state_b, m = part2_body(
+                    params, stats, opt_state_b, m = part2b_body(
                         params, stats, opt_state_b, *args
                     )
             else:
-                params, stats, opt_state_f, m = part2_full(
+                params, stats, opt_state_f, m = part2b_full(
                     params, stats, opt_state_f, *args
                 )
             m = dict(m)

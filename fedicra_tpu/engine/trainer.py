@@ -172,6 +172,10 @@ def init_client_state(model, cfg: TrainConfig, seed: int = None) -> ClientState:
     kp, kd, kr = jax.random.split(k, 3)
     x = jnp.zeros((1, cfg.img_size, cfg.img_size, cfg.in_chns))
     variables = model.init({"params": kp, "dropout": kd}, x, train=False)
+    if cfg.model == "efficient_unet" and getattr(cfg, "encoder_weights", None):
+        from ..models.efficientunet import load_pretrained_encoder
+
+        variables = load_pretrained_encoder(variables, cfg.encoder_weights)
     return ClientState(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),

@@ -65,3 +65,60 @@ def dense_crf_loss(
 
     total = jnp.sum(jax.vmap(per_image)(img_s, s))
     return -weight * total / b
+
+
+def dense_crf_loss_lattice(
+    images,  # np [B,H,W,C] in [0,1]
+    probs,  # np [B,H,W,K]
+    rois,  # np [B,H,W]
+    *,
+    weight: float = 2e-9,
+    sigma_rgb: float = 15.0,
+    sigma_xy: float = 100.0,
+    scale_factor: float = 0.5,
+    image_scale: float = 255.0,
+):
+    """Host permutohedral-lattice evaluation of the same loss and its
+    gradient wrt probs — the reference's execution model (DenseCRFLoss.py
+    forward/backward via bilateralfilter_batch). Returns (loss, d_probs)
+    as numpy arrays; d_probs is at the downscaled resolution like the
+    reference (its backward never upsamples, DenseCRFLoss.py:32-44).
+    """
+    import numpy as np
+
+    from .. import native
+
+    b, h, w, _ = probs.shape
+    oh, ow = int(h * scale_factor), int(w * scale_factor)
+
+    def nearest(x, hw):
+        ys = (np.arange(hw[0]) * (x.shape[1] / hw[0])).astype(np.int64)
+        xs = (np.arange(hw[1]) * (x.shape[2] / hw[1])).astype(np.int64)
+        return x[:, ys][:, :, xs]
+
+    img_s = nearest(np.asarray(images, np.float32) * image_scale, (oh, ow))
+    probs_s = np.asarray(
+        jax.image.resize(
+            jnp.asarray(probs), (b, oh, ow, probs.shape[-1]), method="linear"
+        )
+    )
+    rois_s = nearest(
+        np.asarray(rois, np.float32)[..., None], (oh, ow)
+    )
+
+    yy, xx = np.meshgrid(np.arange(oh), np.arange(ow), indexing="ij")
+    sxy = sigma_xy * scale_factor
+    xy = np.stack([xx, yy], -1).astype(np.float32) / sxy
+    s = (probs_s * rois_s).reshape(b, oh * ow, -1).astype(np.float32)
+
+    loss = 0.0
+    d_probs = np.zeros_like(s)
+    for i in range(b):
+        feats = np.concatenate(
+            [np.broadcast_to(xy, (oh, ow, 2)), img_s[i] / sigma_rgb], -1
+        ).reshape(oh * ow, -1)
+        AS = native.permutohedral_filter(feats, s[i])
+        loss += float(np.sum(s[i] * AS))
+        # d/dprobs of -w/b * s^T K s with s = probs*roi: -2w/b * roi * (K s)
+        d_probs[i] = (-2.0 * weight / b) * rois_s[i].reshape(-1, 1) * AS
+    return -weight * loss / b, d_probs.reshape(b, oh, ow, -1)

@@ -61,19 +61,43 @@ def gated_crf_features(
     return jnp.concatenate(feats, axis=-1)
 
 
+def _fix_mask(mask: Array) -> Array:
+    """Reference mask conditioning (gate_crf_loss.py:66-76): NaN -> 0, then
+    anything below 1.0 (interpolation edges) -> 0. Accepts (B,H,W) or
+    (B,H,W,1); returns (B,H,W)."""
+    if mask.ndim == 4:
+        mask = mask[..., 0]
+    mask = jnp.nan_to_num(mask, nan=0.0)
+    return jnp.where(mask < 1.0, 0.0, mask)
+
+
 def gated_crf_loss(
     softmax_probs: Array,
     image: Array,
     *,
     radius: int = 5,
     kernels_desc: Optional[List[dict]] = None,
+    mask_src: Optional[Array] = None,
+    mask_dst: Optional[Array] = None,
+    compatibility: Optional[Array] = None,
 ) -> Array:
-    """The gated CRF loss value (scalar), XLA offset-streaming implementation."""
+    """The gated CRF loss value (scalar), XLA offset-streaming implementation.
+
+    Full ModelLossSemsegGatedCRF surface (gate_crf_loss.py:20-122):
+    - ``mask_src`` gates kernel values at the *neighbor* (unfolded) position
+      and sets the denominator to its sum (clamped >= 1);
+    - ``mask_dst`` gates at the *center* position and overrides the
+      denominator (the reference applies src then dst, last write wins);
+    - ``compatibility`` (C,C, non-negative, zero diagonal) replaces the Potts
+      model: loss = sum(compat_n * y^T K y) with compat_n = (C-1) *
+      row-L1-normalized compatibility and WITHOUT the kernels.sum() term
+      (reference :97-113 branch structure).
+    The live "Ours" configuration is Potts/no-mask (…_Ours.py:143-151).
+    """
     if kernels_desc is None:
         kernels_desc = [{"weight": 1.0, "xy": 6.0, "rgb": 0.1}]
 
     b, h, w, c = softmax_probs.shape
-    denom = b * h * w
 
     feature_stacks: List[Tuple[float, Array]] = []
     for desc in kernels_desc:
@@ -82,6 +106,20 @@ def gated_crf_loss(
         sigma_rgb = desc.get("rgb")
         feature_stacks.append(
             (weight, gated_crf_features(image, sigma_xy, sigma_rgb))
+        )
+
+    denom = jnp.asarray(float(b * h * w), jnp.float32)
+    if mask_src is not None:
+        mask_src = _fix_mask(mask_src)
+        denom = jnp.maximum(jnp.sum(mask_src), 1.0)
+    if mask_dst is not None:
+        mask_dst = _fix_mask(mask_dst)
+        denom = jnp.maximum(jnp.sum(mask_dst), 1.0)
+
+    if compatibility is not None:
+        compat = jnp.asarray(compatibility, jnp.float32)
+        compat = (c - 1) * compat / jnp.maximum(
+            jnp.sum(jnp.abs(compat), axis=1, keepdims=True), 1e-12
         )
 
     y = softmax_probs
@@ -102,11 +140,16 @@ def gated_crf_loss(
         for (w_, f) in feature_stacks
     ]
     y_pad = jnp.pad(y, [(0, 0), (r, r), (r, r), (0, 0)])
+    ms_pad = (
+        jnp.pad(mask_src, [(0, 0), (r, r), (r, r)])
+        if mask_src is not None
+        else None
+    )
 
     def shift(xp, dy, dx):
-        return jax.lax.dynamic_slice(
-            xp, (0, r + dy, r + dx, 0), (b, h, w, xp.shape[-1])
-        )
+        sizes = (b, h, w) + ((xp.shape[-1],) if xp.ndim == 4 else ())
+        starts = (0, r + dy, r + dx) + ((0,) if xp.ndim == 4 else ())
+        return jax.lax.dynamic_slice(xp, starts, sizes)
 
     # lax.scan over offsets with rematerialization: the reference (and a
     # naive unrolled loop) holds all 120 offsets' residuals — the per-offset
@@ -118,8 +161,35 @@ def gated_crf_loss(
         for weight, fp in f_pad:
             diff = shift(fp, dy, dx) - fp[:, r : r + h, r : r + w, :]
             k = k + weight * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1))
-        cross = jnp.sum(shift(y_pad, dy, dx) * y, axis=-1)
-        return total + jnp.sum(k * (1.0 - cross)), None
+        if ms_pad is not None:
+            k = k * shift(ms_pad, dy, dx)
+        if mask_dst is not None:
+            k = k * mask_dst
+        y_sh = shift(y_pad, dy, dx)
+        if compatibility is None:
+            cross = jnp.sum(y_sh * y, axis=-1)
+            return total + jnp.sum(k * (1.0 - cross)), None
+        pair = jnp.sum(y * jnp.einsum("cd,bhwd->bhwc", compat, y_sh), axis=-1)
+        return total + jnp.sum(k * pair), None
 
     total, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), offsets)
     return total / denom
+
+
+def gated_crf_loss_auto(
+    softmax_probs: Array, image: Array, *, radius: int = 5
+) -> Array:
+    """Live-path dispatch: the fused Pallas kernel on TPU backends (one HBM
+    pass instead of ~120), the XLA streaming path elsewhere or when
+    FEDICRA_GATED_CRF=xla."""
+    import os
+
+    choice = os.environ.get("FEDICRA_GATED_CRF", "auto")
+    use_pallas = choice == "pallas" or (
+        choice == "auto" and jax.default_backend() in ("tpu", "axon")
+    )
+    if use_pallas:
+        from ..ops.gated_crf_pallas import gated_crf_loss_pallas
+
+        return gated_crf_loss_pallas(softmax_probs, image, radius=radius)
+    return gated_crf_loss(softmax_probs, image, radius=radius)

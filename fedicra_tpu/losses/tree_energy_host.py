@@ -14,9 +14,35 @@ weight * sum(ROI * |prob - AS_3|) / sum(ROI); |.|' at 0 is 0 (torch parity).
 
 from __future__ import annotations
 
+import zlib
+from collections import OrderedDict
 from typing import Tuple
 
 import numpy as np
+
+# LRU of precomputed low-level tree structures keyed by the guide batch's
+# content hash. The reference materializes an epoch of batches once and
+# replays them by index across rounds (quirk #9, ..._Ours.py:71-79), so the
+# guide image — and therefore its MST/rooting, the dominant level cost —
+# repeats exactly. Content-addressed (full-buffer crc32, ~10ms for a 21MB
+# batch) so a hash hit can never reuse a wrong tree silently.
+_LOW_TREE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_LOW_TREE_CACHE_MAX = 8
+
+
+def _low_structure_cached(low_f: np.ndarray, eu, ev, sigma: float):
+    from .. import native
+
+    key = (low_f.shape, float(sigma), zlib.crc32(low_f.tobytes()))
+    hit = _LOW_TREE_CACHE.get(key)
+    if hit is not None:
+        _LOW_TREE_CACHE.move_to_end(key)
+        return hit
+    structure = native.tree_low_structure_build(low_f, eu, ev, sigma)
+    _LOW_TREE_CACHE[key] = structure
+    while len(_LOW_TREE_CACHE) > _LOW_TREE_CACHE_MAX:
+        _LOW_TREE_CACHE.popitem(last=False)
+    return structure
 
 
 def _filter_fwd(embed, x, eu, ev, sigma, low_tree):
@@ -70,7 +96,8 @@ def multi_scale_tree_loss_host(
     from .. import native
 
     loss, d_prob, d_a1, d_a2, d_a3 = native.tree_energy_chain_host(
-        low_f, prob_f, a_f[0], a_f[1], a_f[2], roi_b, scale, sigma, eu, ev
+        low_f, prob_f, a_f[0], a_f[1], a_f[2], roi_b, scale, sigma, eu, ev,
+        low_structure=_low_structure_cached(low_f, eu, ev, sigma),
     )
     d_aux = [d_a1, d_a2, d_a3]
 

@@ -201,6 +201,125 @@ class DecoderBlock(nn.Module):
         return x
 
 
+def _b3_block_layout():
+    """Global block list [(stage, rep_in_stage, expand)] with B3 scaling —
+    the order efficientnet-pytorch flattens its ``_blocks`` ModuleList in."""
+    layout = []
+    for si, (r, _k, _s, e, _c) in enumerate(_B0_STAGES):
+        for bi in range(_round_repeats(r, 1.4)):
+            layout.append((si, bi, e))
+    return layout
+
+
+def convert_torch_encoder_state_dict(state_dict, encoder_params, encoder_stats):
+    """Map an efficientnet-pytorch B3 ``state_dict`` (the checkpoints the
+    reference loads via encoder_weights='imagenet',
+    efficient_encoder.py:111-200) onto the flax encoder trees.
+
+    Accepts either torch tensors or numpy arrays as values. Returns
+    (params, batch_stats) with the encoder leaves replaced. Raises KeyError
+    when an expected key is missing — a wrong-architecture checkpoint fails
+    loudly, not silently.
+    """
+    import numpy as np
+
+    def arr(key):
+        v = state_dict[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        return v.astype(np.float32)
+
+    def conv_k(key):  # torch OIHW -> flax HWIO (depthwise [C,1,k,k]->[k,k,1,C])
+        return arr(key).transpose(2, 3, 1, 0)
+
+    p = jax.tree.map(lambda x: x, encoder_params)  # shallow copy-on-write
+    s = jax.tree.map(lambda x: x, encoder_stats)
+
+    def set_bn(dst_p, dst_s, prefix):
+        dst_p["bn"] = {
+            "scale": jnp.asarray(arr(f"{prefix}.weight")),
+            "bias": jnp.asarray(arr(f"{prefix}.bias")),
+        }
+        dst_s["bn"] = {
+            "mean": jnp.asarray(arr(f"{prefix}.running_mean")),
+            "var": jnp.asarray(arr(f"{prefix}.running_var")),
+        }
+
+    p["stem_conv"] = {"kernel": jnp.asarray(conv_k("_conv_stem.weight"))}
+    set_bn(p["stem_bn"], s["stem_bn"], "_bn0")
+
+    for g, (si, bi, expand) in enumerate(_b3_block_layout()):
+        name = f"block{si}_{bi}"
+        bp, bs = p[name], s[name]
+        if expand != 1:
+            bp["expand_conv"] = {
+                "conv": {"kernel": jnp.asarray(conv_k(f"_blocks.{g}._expand_conv.weight"))}
+            }
+            set_bn(bp["bn0"], bs["bn0"], f"_blocks.{g}._bn0")
+        bp["dwconv"] = {
+            "kernel": jnp.asarray(conv_k(f"_blocks.{g}._depthwise_conv.weight"))
+        }
+        set_bn(bp["bn1"], bs["bn1"], f"_blocks.{g}._bn1")
+        bp["se"] = {
+            "reduce": {"conv": {
+                "kernel": jnp.asarray(conv_k(f"_blocks.{g}._se_reduce.weight")),
+                "bias": jnp.asarray(arr(f"_blocks.{g}._se_reduce.bias")),
+            }},
+            "expand": {"conv": {
+                "kernel": jnp.asarray(conv_k(f"_blocks.{g}._se_expand.weight")),
+                "bias": jnp.asarray(arr(f"_blocks.{g}._se_expand.bias")),
+            }},
+        }
+        bp["project_conv"] = {
+            "conv": {"kernel": jnp.asarray(conv_k(f"_blocks.{g}._project_conv.weight"))}
+        }
+        set_bn(bp["bn2"], bs["bn2"], f"_blocks.{g}._bn2")
+
+    for new, old, what in ((p, encoder_params, "params"), (s, encoder_stats, "batch_stats")):
+        flat_new = jax.tree_util.tree_leaves_with_path(new)
+        flat_old = {
+            jax.tree_util.keystr(k): v.shape
+            for k, v in jax.tree_util.tree_leaves_with_path(old)
+        }
+        for k, v in flat_new:
+            ks = jax.tree_util.keystr(k)
+            if flat_old.get(ks) != v.shape:
+                raise ValueError(
+                    f"converted encoder {what} leaf {ks} has shape {v.shape}, "
+                    f"expected {flat_old.get(ks)} — wrong checkpoint variant?"
+                )
+    return p, s
+
+
+def load_pretrained_encoder(variables, weights_path_or_state_dict):
+    """Load efficientnet-pytorch B3 weights into an initialized EffiUNet
+    variables dict. ``weights_path_or_state_dict``: a .pth path (torch
+    format) or an already-loaded state_dict. Returns new variables.
+
+    The reference builds efficient_unet with encoder_weights='imagenet'
+    (net_factory.py:16-17); this environment has no network, so the file
+    must be supplied (CLI: --encoder_weights /path/to/efficientnet-b3.pth).
+    """
+    if isinstance(weights_path_or_state_dict, (str, bytes)):
+        import torch
+
+        state_dict = torch.load(
+            weights_path_or_state_dict, map_location="cpu", weights_only=True
+        )
+    else:
+        state_dict = weights_path_or_state_dict
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    enc_p, enc_s = convert_torch_encoder_state_dict(
+        state_dict, params["encoder"], stats["encoder"]
+    )
+    params["encoder"] = enc_p
+    stats["encoder"] = enc_s
+    out = dict(variables)
+    out["params"] = params
+    out["batch_stats"] = stats
+    return out
+
+
 class EffiUNet(nn.Module):
     in_chns: int
     num_classes: int
@@ -212,8 +331,10 @@ class EffiUNet(nn.Module):
     def __call__(self, x, *, train: bool = False, emb_idx=None):
         if self.pretrained:
             raise NotImplementedError(
-                "pretrained EfficientNet weights are unavailable in this "
-                "offline build; use pretrained=None (random init)"
+                "pretrained EfficientNet weights cannot be fetched in this "
+                "offline build; initialize the model then apply "
+                "load_pretrained_encoder(variables, '<efficientnet-b3.pth>') "
+                "with a locally supplied checkpoint"
             )
         feats = EfficientNetEncoder(name="encoder")(x, train=train)
         # smp: drop the full-res input feature, reverse

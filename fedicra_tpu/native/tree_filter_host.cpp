@@ -289,14 +289,42 @@ struct LevelState {
   std::vector<float> A, F;   // residuals over C+1 channels
 };
 
+// Kruskal over an LSD radix sort (3 x 11-bit passes on the order-preserving
+// uint32 transform of the positive float weights). Ties break by edge index
+// automatically: the radix passes are stable and process edges in index
+// order. ~6x faster than the comparison sort, which dominated the level
+// build (~40ms of each ~60ms level at E=294k).
 void mst_kruskal(const int* eu, const int* ev, const float* w, int E, int V,
                  std::vector<uint8_t>& sel) {
-  std::vector<int> order(E);
+  std::vector<uint32_t> keys((size_t)E);
+  for (int i = 0; i < E; ++i) {
+    uint32_t u;
+    std::memcpy(&u, &w[i], 4);
+    // weights are >= 1 here (||d||^2 + 1) so sign bit is 0: flip it to get
+    // an unsigned order-preserving key for all non-negative floats
+    keys[i] = u ^ 0x80000000u;
+  }
+  std::vector<int> order((size_t)E), order2((size_t)E);
   std::iota(order.begin(), order.end(), 0);
-  std::sort(order.begin(), order.end(), [&](int a, int b) {
-    if (w[a] != w[b]) return w[a] < w[b];
-    return a < b;
-  });
+  constexpr int RB = 11;
+  constexpr int BUCKETS = 1 << RB;
+  std::vector<int> count(BUCKETS);
+  for (int shift = 0; shift < 32; shift += RB) {
+    std::fill(count.begin(), count.end(), 0);
+    for (int oi = 0; oi < E; ++oi)
+      ++count[(keys[order[oi]] >> shift) & (BUCKETS - 1)];
+    int acc = 0;
+    for (int b2 = 0; b2 < BUCKETS; ++b2) {
+      int c = count[b2];
+      count[b2] = acc;
+      acc += c;
+    }
+    for (int oi = 0; oi < E; ++oi) {
+      int i = order[oi];
+      order2[count[(keys[i] >> shift) & (BUCKETS - 1)]++] = i;
+    }
+    order.swap(order2);
+  }
   DSU2 dsu(V);
   sel.assign(E, 0);
   int remaining = V - 1;
@@ -412,12 +440,23 @@ void chain_one(const float* low, const float* prob, const float* a1,
                const float* a2, const float* a3, const float* roi,
                float scale, float sigma, const int* eu, const int* ev, int E,
                int V, int D, int C, float* loss_out, float* d_prob,
-               float* d_a1, float* d_a2, float* d_a3) {
+               float* d_a1, float* d_a2, float* d_a3,
+               const int* low_parent = nullptr, const int* low_order = nullptr,
+               const float* low_w = nullptr) {
   const float* auxs[3] = {a1, a2, a3};
   float* d_auxs[3] = {d_a1, d_a2, d_a3};
 
   LevelState Llow;
-  build_level(low, D, eu, ev, E, V, 1.f / sigma, Llow);
+  if (low_parent) {
+    // precomputed low-level structure (the guide image repeats across
+    // epoch-replayed batches — reference quirk #9 — so its MST/rooting is
+    // cacheable; see tree_low_structure_build)
+    Llow.t.parent.assign(low_parent, low_parent + V);
+    Llow.t.order.assign(low_order, low_order + V);
+    Llow.w.assign(low_w, low_w + V);
+  } else {
+    build_level(low, D, eu, ev, E, V, 1.f / sigma, Llow);
+  }
   std::vector<float> AS;
   level_forward(Llow, prob, V, C, AS);
 
@@ -480,7 +519,54 @@ void tree_energy_chain_host(const float* low, const float* prob,
     threads.emplace_back(chain_one, low + od, prob + oc, a1 + oc, a2 + oc,
                          a3 + oc, roi + ov, scale, sigma, eu, ev, E, V, D, C,
                          loss_out + b, d_prob + oc, d_a1 + oc, d_a2 + oc,
-                         d_a3 + oc);
+                         d_a3 + oc, nullptr, nullptr, nullptr);
+  }
+  for (auto& t : threads) t.join();
+}
+
+// Precompute the low level's tree structure for a batch of guide images:
+// parent_out/order_out int32 [B,V], w_out float [B,V]. The caller caches
+// these per epoch-replayed batch and feeds tree_energy_chain_host_cached.
+void tree_low_structure_build(const float* low, const int* eu, const int* ev,
+                              int E, int B, int V, int D, float sigma,
+                              int* parent_out, int* order_out, float* w_out) {
+  std::vector<std::thread> threads;
+  threads.reserve(B);
+  for (int b = 0; b < B; ++b) {
+    threads.emplace_back([=]() {
+      LevelState L;
+      build_level(low + (size_t)b * V * D, D, eu, ev, E, V, 1.f / sigma, L);
+      std::memcpy(parent_out + (size_t)b * V, L.t.parent.data(),
+                  sizeof(int) * V);
+      std::memcpy(order_out + (size_t)b * V, L.t.order.data(),
+                  sizeof(int) * V);
+      std::memcpy(w_out + (size_t)b * V, L.w.data(), sizeof(float) * V);
+    });
+  }
+  for (auto& t : threads) t.join();
+}
+
+// Chain with a precomputed low-level structure ([B,V] arrays; pass NULLs to
+// rebuild internally, equivalent to tree_energy_chain_host).
+void tree_energy_chain_host_cached(
+    const float* low, const float* prob, const float* a1, const float* a2,
+    const float* a3, const float* roi, float scale, float sigma, const int* eu,
+    const int* ev, int E, int B, int V, int D, int C, float* loss_out,
+    float* d_prob, float* d_a1, float* d_a2, float* d_a3,
+    const int* low_parent, const int* low_order, const float* low_w) {
+  std::vector<std::thread> threads;
+  threads.reserve(B);
+  for (int b = 0; b < B; ++b) {
+    size_t oc = (size_t)b * V * C;
+    size_t od = (size_t)b * V * D;
+    size_t ov = (size_t)b * V;
+    threads.emplace_back(
+        chain_one, low + od, prob + oc, a1 + oc, a2 + oc, a3 + oc, roi + ov,
+        scale, sigma, eu, ev, E, V, D, C, loss_out + b, d_prob + oc,
+        d_a1 + oc, d_a2 + oc, d_a3 + oc,
+        low_parent ? low_parent + ov : nullptr,
+        low_order ? low_order + ov : nullptr,
+        low_w ? low_w + ov : nullptr);
   }
   for (auto& t : threads) t.join();
 }

@@ -58,8 +58,13 @@ def test_partial_dice_reference_formula():
     np.testing.assert_allclose(ours, total / nc, rtol=1e-5)
 
 
-def _gated_crf_torch_oracle(y_soft, image, radius, sigma_xy, sigma_rgb):
-    """Independent torch implementation of the gated CRF formula (NCHW)."""
+def _gated_crf_torch_oracle(
+    y_soft, image, radius, sigma_xy, sigma_rgb,
+    mask_src=None, mask_dst=None, compatibility=None,
+):
+    """Independent torch implementation of the gated CRF formula (NCHW),
+    covering the full ModelLossSemsegGatedCRF surface (masks + non-Potts
+    compatibility, gate_crf_loss.py:77-113)."""
     y = torch.from_numpy(y_soft)  # (B,C,H,W)
     img = torch.from_numpy(image)
     B, C, H, W = y.shape
@@ -76,10 +81,35 @@ def _gated_crf_torch_oracle(y_soft, image, radius, sigma_xy, sigma_rgb):
     diff = fu - feat.view(B, -1, 1, 1, H, W)
     kern = torch.exp(-0.5 * (diff ** 2).sum(dim=1, keepdim=True))
     kern[:, :, radius, radius] = 0
+
+    denom = float(B * H * W)
+
+    def fix(m):
+        m = torch.from_numpy(m).view(B, 1, H, W).clone()
+        m[m != m] = 0.0
+        m[m < 1.0] = 0.0
+        return m
+
+    if mask_src is not None:
+        ms = fix(mask_src)
+        denom = float(ms.sum().clamp(min=1))
+        kern = kern * unfold(ms)
+    if mask_dst is not None:
+        md = fix(mask_dst)
+        denom = float(md.sum().clamp(min=1))
+        kern = kern * md.view(B, 1, 1, 1, H, W)
+
     yu = unfold(y)
     prod = (kern * yu).view(B, C, d * d, H, W).sum(dim=2)
-    loss = kern.sum() - (prod * y).sum()
-    return float(loss / (B * H * W))
+    if compatibility is None:
+        loss = kern.sum() - (prod * y).sum()
+    else:
+        compat = torch.from_numpy(compatibility).float()
+        compat = (C - 1) * tF.normalize(compat, p=1, dim=1)
+        y_cn = y.permute(1, 0, 2, 3).contiguous().view(C, -1)
+        pk_nc = prod.permute(0, 2, 3, 1).contiguous().view(-1, C)
+        loss = (compat * (y_cn @ pk_nc)).sum()
+    return float(loss / denom)
 
 
 @pytest.mark.parametrize("radius", [2, 5])
@@ -99,6 +129,61 @@ def test_gated_crf_matches_torch_oracle(radius):
         radius,
         6.0,
         0.1,
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_gated_crf_masks_match_torch_oracle():
+    """mask_src (neighbor gate + denom) and mask_dst (center gate + denom
+    override), gate_crf_loss.py:79-90."""
+    rng = np.random.default_rng(6)
+    B, C, H, W = 2, 3, 12, 12
+    probs = np.asarray(
+        jax.nn.softmax(jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32)))
+    )
+    image = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    # masks with edge values in (0,1) to exercise the <1 -> 0 fixup, plus NaN
+    msrc = rng.choice([0.0, 0.5, 1.0], size=(B, H, W)).astype(np.float32)
+    mdst = rng.choice([0.0, 1.0], size=(B, H, W)).astype(np.float32)
+    msrc[0, 0, 0] = np.nan
+
+    for src, dst in ((msrc, None), (None, mdst), (msrc, mdst)):
+        ours = float(
+            gated_crf_loss(
+                jnp.asarray(probs), jnp.asarray(image), radius=3,
+                mask_src=jnp.asarray(src) if src is not None else None,
+                mask_dst=jnp.asarray(dst) if dst is not None else None,
+            )
+        )
+        ref = _gated_crf_torch_oracle(
+            np.transpose(probs, (0, 3, 1, 2)).copy(),
+            np.transpose(image, (0, 3, 1, 2)).copy(),
+            3, 6.0, 0.1, mask_src=src, mask_dst=dst,
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, err_msg=str((src is None, dst is None)))
+
+
+def test_gated_crf_compatibility_matches_torch_oracle():
+    """Non-Potts class compatibility branch (gate_crf_loss.py:97-113)."""
+    rng = np.random.default_rng(7)
+    B, C, H, W = 2, 3, 12, 12
+    probs = np.asarray(
+        jax.nn.softmax(jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32)))
+    )
+    image = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    compat = np.array(
+        [[0.0, 1.0, 2.0], [1.0, 0.0, 0.5], [2.0, 0.5, 0.0]], np.float32
+    )
+    ours = float(
+        gated_crf_loss(
+            jnp.asarray(probs), jnp.asarray(image), radius=3,
+            compatibility=jnp.asarray(compat),
+        )
+    )
+    ref = _gated_crf_torch_oracle(
+        np.transpose(probs, (0, 3, 1, 2)).copy(),
+        np.transpose(image, (0, 3, 1, 2)).copy(),
+        3, 6.0, 0.1, compatibility=compat,
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
