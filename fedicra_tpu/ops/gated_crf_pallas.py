@@ -4,8 +4,16 @@ The XLA offset-streaming implementation (losses/gated_crf.py) makes ~120
 passes over HBM — one read of the padded feature/probability arrays per
 offset (the checkpointed scan rematerializes them in the backward too). This
 kernel keeps one image's probabilities and features resident in VMEM
-(~4.5 MB at 384^2: y 384*384*3 + f 384*384*5, fp32) and runs the whole
-offset loop on the VPU, so HBM is touched once per image per pass.
+(~4.5 MB at 384^2: y 3 planes + f 5 planes, fp32) and runs the whole offset
+loop on the VPU, so HBM is touched once per image per pass.
+
+Mosaic constraints shaping the kernel:
+- channels live as separate 2D planes ((C, H, W) blocks; the last two dims
+  carry the (8,128) tiling) — channel-last reductions with C < 128 cannot
+  be relayouted;
+- the offset loop is unrolled at trace time: dynamic slice starts on the
+  sublane/lane dims must be statically aligned, so each of the 120 offsets
+  becomes a static slice.
 
 Forward:   L = sum_o sum_q k_o(q) * (1 - <y(q), y(q+o)>) / (B*H*W)
 Backward:  dL/dy(q) = -(2/(B*H*W)) * sum_o k_o(q) * y_pad(q+o)
@@ -32,116 +40,117 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _offsets(radius: int) -> np.ndarray:
-    return np.asarray(
-        [
-            (dy, dx)
-            for dy in range(-radius, radius + 1)
-            for dx in range(-radius, radius + 1)
-            if not (dy == 0 and dx == 0)
-        ],
-        dtype=np.int32,
-    )
+def _offsets(radius: int):
+    return [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if not (dy == 0 and dx == 0)
+    ]
 
 
-def _fwd_kernel(off_ref, y_ref, f_ref, out_ref, yp_ref, fp_ref, *, radius, h, w):
+def _load_padded(dst_ref, src_ref, n_ch, r, h, w):
+    dst_ref[:] = jnp.zeros_like(dst_ref)
+    for c in range(n_ch):
+        dst_ref[c, r : r + h, r : r + w] = src_ref[0, c]
+
+
+def _kernel_at(fp_ref, n_f, dy, dx, r, h, w):
+    ksum = jnp.zeros((h, w), jnp.float32)
+    for f in range(n_f):
+        d = (
+            fp_ref[f, r + dy : r + dy + h, r + dx : r + dx + w]
+            - fp_ref[f, r : r + h, r : r + w]
+        )
+        ksum = ksum + d * d
+    return jnp.exp(-0.5 * ksum)
+
+
+def _fwd_kernel(y_ref, f_ref, out_ref, yp_ref, fp_ref, *, radius, h, w):
     r = radius
-    n_off = off_ref.shape[0]
-    yp_ref[:] = jnp.zeros_like(yp_ref)
-    fp_ref[:] = jnp.zeros_like(fp_ref)
-    yp_ref[r : r + h, r : r + w, :] = y_ref[0]
-    fp_ref[r : r + h, r : r + w, :] = f_ref[0]
+    n_c = y_ref.shape[1]
+    n_f = f_ref.shape[1]
+    _load_padded(yp_ref, y_ref, n_c, r, h, w)
+    _load_padded(fp_ref, f_ref, n_f, r, h, w)
 
-    y0 = y_ref[0]
-    f0 = f_ref[0]
+    tot = jnp.float32(0.0)
+    for dy, dx in _offsets(radius):
+        k = _kernel_at(fp_ref, n_f, dy, dx, r, h, w)
+        cross = jnp.zeros((h, w), jnp.float32)
+        for c in range(n_c):
+            cross = cross + (
+                yp_ref[c, r + dy : r + dy + h, r + dx : r + dx + w]
+                * yp_ref[c, r : r + h, r : r + w]
+            )
+        tot = tot + jnp.sum(k * (1.0 - cross))
 
-    def body(i, tot):
-        dy = off_ref[i, 0]
-        dx = off_ref[i, 1]
-        ysh = yp_ref[pl.ds(r + dy, h), pl.ds(r + dx, w), :]
-        fsh = fp_ref[pl.ds(r + dy, h), pl.ds(r + dx, w), :]
-        d = fsh - f0
-        k = jnp.exp(-0.5 * jnp.sum(d * d, axis=-1))
-        cross = jnp.sum(ysh * y0, axis=-1)
-        return tot + jnp.sum(k * (1.0 - cross))
-
-    out_ref[0, 0] = jax.lax.fori_loop(0, n_off, body, jnp.float32(0.0))
+    # full-array SMEM output block (per-program (1,1) blocks violate the TPU
+    # tiling rule); the grid is sequential so per-row writes don't race
+    out_ref[pl.program_id(0), 0] = tot
 
 
-def _bwd_kernel(off_ref, y_ref, f_ref, out_ref, yp_ref, fp_ref, *, radius, h, w):
+def _bwd_kernel(y_ref, f_ref, out_ref, yp_ref, fp_ref, *, radius, h, w):
     r = radius
-    n_off = off_ref.shape[0]
-    yp_ref[:] = jnp.zeros_like(yp_ref)
-    fp_ref[:] = jnp.zeros_like(fp_ref)
-    yp_ref[r : r + h, r : r + w, :] = y_ref[0]
-    fp_ref[r : r + h, r : r + w, :] = f_ref[0]
-    f0 = f_ref[0]
+    n_c = y_ref.shape[1]
+    n_f = f_ref.shape[1]
+    _load_padded(yp_ref, y_ref, n_c, r, h, w)
+    _load_padded(fp_ref, f_ref, n_f, r, h, w)
 
-    def body(i, acc):
-        dy = off_ref[i, 0]
-        dx = off_ref[i, 1]
-        ysh = yp_ref[pl.ds(r + dy, h), pl.ds(r + dx, w), :]
-        fsh = fp_ref[pl.ds(r + dy, h), pl.ds(r + dx, w), :]
-        d = fsh - f0
-        k = jnp.exp(-0.5 * jnp.sum(d * d, axis=-1))
-        return acc + k[..., None] * ysh
-
-    acc = jax.lax.fori_loop(
-        0, n_off, body, jnp.zeros((h, w, y_ref.shape[-1]), jnp.float32)
-    )
-    out_ref[0] = acc
+    acc = [jnp.zeros((h, w), jnp.float32) for _ in range(n_c)]
+    for dy, dx in _offsets(radius):
+        k = _kernel_at(fp_ref, n_f, dy, dx, r, h, w)
+        for c in range(n_c):
+            acc[c] = acc[c] + k * yp_ref[
+                c, r + dy : r + dy + h, r + dx : r + dx + w
+            ]
+    for c in range(n_c):
+        out_ref[0, c] = acc[c]
 
 
-def _run(kernel, offsets, y, feats, out_shape, radius):
-    b, h, w, c = y.shape
-    f = feats.shape[-1]
-    grid = (b,)
+def _run(kernel, y, feats, out_shape, radius):
+    b, c, h, w = y.shape
+    f = feats.shape[1]
     return pl.pallas_call(
         functools.partial(kernel, radius=radius, h=h, w=w),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, h, w, c), lambda i, off: (i, 0, 0, 0)),
-                pl.BlockSpec((1, h, w, f), lambda i, off: (i, 0, 0, 0)),
-            ],
-            out_specs=out_shape[1],
-            scratch_shapes=[
-                pltpu.VMEM((h + 2 * radius, w + 2 * radius, c), jnp.float32),
-                pltpu.VMEM((h + 2 * radius, w + 2 * radius, f), jnp.float32),
-            ],
-        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, f, h, w), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=out_shape[1],
+        scratch_shapes=[
+            pltpu.VMEM((c, h + 2 * radius, w + 2 * radius), jnp.float32),
+            pltpu.VMEM((f, h + 2 * radius, w + 2 * radius), jnp.float32),
+        ],
         out_shape=out_shape[0],
         interpret=jax.default_backend() == "cpu",
-    )(offsets, y, feats)
+    )(y, feats)
 
 
-def _fwd_call(offsets, y, feats, radius):
+def _fwd_call(y, feats, radius):
     b = y.shape[0]
     out = _run(
         _fwd_kernel,
-        offsets,
         y,
         feats,
         (
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            pl.BlockSpec((1, 1), lambda i, off: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
         radius,
     )
     return jnp.sum(out)
 
 
-def _bwd_call(offsets, y, feats, radius):
-    b, h, w, c = y.shape
+def _bwd_call(y, feats, radius):
+    b, c, h, w = y.shape
     return _run(
         _bwd_kernel,
-        offsets,
         y,
         feats,
         (
-            jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
-            pl.BlockSpec((1, h, w, c), lambda i, off: (i, 0, 0, 0)),
+            jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0)),
         ),
         radius,
     )
@@ -149,9 +158,9 @@ def _bwd_call(offsets, y, feats, radius):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _gated_crf_potts(y, feats, radius):
-    offsets = jnp.asarray(_offsets(radius))
-    total = _fwd_call(offsets, y, feats, radius)
-    return total / (y.shape[0] * y.shape[1] * y.shape[2])
+    """y, feats in (B, C, H, W) planes layout."""
+    total = _fwd_call(y, feats, radius)
+    return total / (y.shape[0] * y.shape[2] * y.shape[3])
 
 
 def _gated_crf_potts_fwd(y, feats, radius):
@@ -160,9 +169,8 @@ def _gated_crf_potts_fwd(y, feats, radius):
 
 def _gated_crf_potts_bwd(radius, res, g):
     y, feats = res
-    offsets = jnp.asarray(_offsets(radius))
-    acc = _bwd_call(offsets, y, feats, radius)
-    denom = y.shape[0] * y.shape[1] * y.shape[2]
+    acc = _bwd_call(y, feats, radius)
+    denom = y.shape[0] * y.shape[2] * y.shape[3]
     return (-2.0 * g / denom) * acc, None
 
 
@@ -189,8 +197,8 @@ def gated_crf_loss_pallas(
     )
     desc = kernels_desc[0]
     feats = gated_crf_features(image, desc["xy"], desc.get("rgb"))
-    return _gated_crf_potts(
-        softmax_probs.astype(jnp.float32),
-        jax.lax.stop_gradient(feats.astype(jnp.float32)),
-        radius,
+    y_pl = jnp.transpose(softmax_probs.astype(jnp.float32), (0, 3, 1, 2))
+    f_pl = jnp.transpose(
+        jax.lax.stop_gradient(feats.astype(jnp.float32)), (0, 3, 1, 2)
     )
+    return _gated_crf_potts(y_pl, f_pl, radius)
