@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--centralized", action="store_true")
     p.add_argument("--client", type=str, default="client1")
     p.add_argument("--sup_type", type=str, default="scribble")
+    p.add_argument("--stop_after", type=int, default=None,
+                   help="stop after this many global iterations while "
+                        "keeping --max_iterations as the poly-LR horizon "
+                        "(budgeted runs comparable to the reference schedule)")
     p.add_argument("--sharded", action="store_true",
                    help="run the single-program SPMD federation over the "
                         "(client, data) device mesh instead of the "
@@ -148,7 +152,7 @@ def main(argv=None):
         snapshot_dir=snapshot_dir,
         limit_per_client=args.limit_per_client,
     )
-    history = server.run()
+    history = server.run(num_rounds=args.stop_after)
     if history:
         last = {k: v for k, v in history[-1].items() if isinstance(v, float)}
         print(json.dumps({"final": last, "best_dice": server.best_dice}))

@@ -23,7 +23,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..losses.gated_crf import gated_crf_loss
+from ..losses.gated_crf import gated_crf_loss_auto
 from ..losses.partial import partial_cross_entropy
 from ..losses.tree_energy import multi_scale_tree_energy_loss
 from .config import TrainConfig
@@ -140,7 +140,7 @@ def ours_loss(
         recursive=True,
     )
 
-    loss_crf = gated_crf_loss(probs, images, radius=cfg.gatecrf_radius)
+    loss_crf = gated_crf_loss_auto(probs, images, radius=cfg.gatecrf_radius)
 
     loss = loss_ce + loss_tree + cfg.gatecrf_weight * loss_crf
 

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..losses.gated_crf import gated_crf_loss
+from ..losses.gated_crf import gated_crf_loss_auto
 from ..losses.partial import partial_cross_entropy
 from ..losses.tree_energy import _resize_bilinear
 from ..models.params_filters import is_head_path, is_pcs_path, path_mask
@@ -128,7 +128,7 @@ def make_split_round_fn(model, cfg: TrainConfig):
         )
         probs = jax.nn.softmax(logits, axis=-1)
         loss_ce = partial_cross_entropy(logits, labels, cfg.num_classes)
-        loss_crf = gated_crf_loss(probs, images, radius=cfg.gatecrf_radius)
+        loss_crf = gated_crf_loss_auto(probs, images, radius=cfg.gatecrf_radius)
         loss = loss_ce + cfg.gatecrf_weight * loss_crf
         metrics = {"loss_ce": loss_ce, "loss_crf": loss_crf}
         if cfg.fedicra:

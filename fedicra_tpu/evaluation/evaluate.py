@@ -73,15 +73,23 @@ def evaluate_client(
     n = images.shape[0]
     all_metrics = []
     for s in range(0, n, batch):
-        img = jnp.asarray(images[s : s + batch])
-        gt = jnp.asarray(labels[s : s + batch].astype(np.int32))
+        img = images[s : s + batch]
+        gt = labels[s : s + batch].astype(np.int32)
+        # pad the tail batch to the full batch size (repeat the last case)
+        # so every eval call shares ONE compiled signature — ragged tails
+        # would each cost a separate multi-minute remote compile
+        pad = batch - img.shape[0]
+        if pad:
+            img = np.concatenate([img, np.repeat(img[-1:], pad, axis=0)])
+            gt = np.concatenate([gt, np.repeat(gt[-1:], pad, axis=0)])
+        img_j = jnp.asarray(img)
+        gt_j = jnp.asarray(gt)
         emb = None
         if emb_idx is not None:
-            emb = jnp.full((img.shape[0],), emb_idx, dtype=jnp.int32)
-        preds = predict_labels(model, params, batch_stats, img, emb_idx=emb)
-        all_metrics.append(
-            np.asarray(metrics_batch(preds, gt, num_classes, max_points))
-        )
+            emb = jnp.full((img_j.shape[0],), emb_idx, dtype=jnp.int32)
+        preds = predict_labels(model, params, batch_stats, img_j, emb_idx=emb)
+        mb = np.asarray(metrics_batch(preds, gt_j, num_classes, max_points))
+        all_metrics.append(mb[: batch - pad] if pad else mb)
     m = np.concatenate(all_metrics, axis=0)  # [N, C-1, 7]
     mean_per_class = m.mean(axis=0)  # [C-1, 7]
     out = {}

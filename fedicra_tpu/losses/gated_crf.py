@@ -179,16 +179,14 @@ def gated_crf_loss(
 def gated_crf_loss_auto(
     softmax_probs: Array, image: Array, *, radius: int = 5
 ) -> Array:
-    """Live-path dispatch: the fused Pallas kernel on TPU backends (one HBM
-    pass instead of ~120), the XLA streaming path elsewhere or when
-    FEDICRA_GATED_CRF=xla."""
+    """Live-path dispatch. FEDICRA_GATED_CRF=pallas opts into the fused
+    Pallas kernel (one HBM pass instead of ~120); the default stays on the
+    XLA streaming path — the kernel's 120 statically-unrolled offsets make
+    its Mosaic compile take tens of minutes on remote-compile runtimes,
+    which dwarfs the per-step win outside long production runs."""
     import os
 
-    choice = os.environ.get("FEDICRA_GATED_CRF", "auto")
-    use_pallas = choice == "pallas" or (
-        choice == "auto" and jax.default_backend() in ("tpu", "axon")
-    )
-    if use_pallas:
+    if os.environ.get("FEDICRA_GATED_CRF") == "pallas":
         from ..ops.gated_crf_pallas import gated_crf_loss_pallas
 
         return gated_crf_loss_pallas(softmax_probs, image, radius=radius)
