@@ -45,6 +45,22 @@ def test_pallas_gradient_matches_xla():
     )
 
 
+def test_auto_dispatch_env_knob(monkeypatch):
+    """gated_crf_loss_auto: XLA by default, Pallas under FEDICRA_GATED_CRF."""
+    from fedicra_tpu.losses.gated_crf import gated_crf_loss_auto
+
+    probs, image = _data(seed=3, h=12, w=12)
+    base = float(gated_crf_loss(probs, image, radius=2))
+    monkeypatch.delenv("FEDICRA_GATED_CRF", raising=False)
+    np.testing.assert_allclose(
+        float(gated_crf_loss_auto(probs, image, radius=2)), base, rtol=1e-6
+    )
+    monkeypatch.setenv("FEDICRA_GATED_CRF", "pallas")
+    np.testing.assert_allclose(
+        float(gated_crf_loss_auto(probs, image, radius=2)), base, rtol=1e-5
+    )
+
+
 def test_pallas_grad_through_softmax():
     """End-to-end through softmax (the objective's usage)."""
     rng = np.random.default_rng(2)
