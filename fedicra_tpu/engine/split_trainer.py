@@ -4,8 +4,11 @@ Some PJRT runtimes (notably tunneled dev TPUs) cannot run host callbacks
 inside jit, which blocks the pure_callback tree-filter offload. This trainer
 achieves the same computation with an explicit pipelined step:
 
-  part1 (jit): the main forward; returns softmax probs + full-res-resized
-          aux heads (same rng as the backward parts, so activations match).
+  part1 (jit): the main forward; returns softmax probs + aux heads at their
+          NATIVE decoder resolution (same rng as the backward parts, so
+          activations match). The host upsamples, and returns aux cotangents
+          already pulled back through the resize adjoint — cutting the
+          dominant device->host transfer ~40%.
   part2a (jit): dispatched immediately after part1 — value_and_grad of every
           tree-independent term (partial CE + gated CRF + cross-client
           contrast). It depends only on (params, batch); the device chews on
@@ -94,8 +97,10 @@ def make_split_round_fn(model, cfg: TrainConfig):
             mutable=["batch_stats"],
         )
         probs = jax.nn.softmax(out["logits"], axis=-1)
-        aux_r = [_resize_bilinear(a, (H, W)) for a in out["aux"]]
-        return tuple(t.astype(tdtype) for t in (probs, *aux_r))
+        # aux heads ship at NATIVE resolution (96/192/384 at 384^2) — the
+        # host upsamples for the chain and pulls the cotangents back through
+        # the resize adjoint, shrinking the dominant transfer ~40%
+        return tuple(t.astype(tdtype) for t in (probs, *out["aux"]))
 
     def _forward(params, batch_stats, kd, images, cid):
         """The shared (rematerialized) training forward."""
@@ -149,17 +154,19 @@ def make_split_round_fn(model, cfg: TrainConfig):
         return grads_a, new_stats, loss_a, metrics
 
     def loss_tree_fn(params, batch_stats, k, batch, cid, dp, d1, d2, d3):
-        """The injected tree term: gradient == host cotangents."""
+        """The injected tree term: gradient == host cotangents. The aux
+        cotangents arrive at native head resolution (already pulled back
+        through the resize adjoint on the host), so <aux_i, d_i> here equals
+        <resize(aux_i), d_i_fullres> exactly by linearity."""
         images = batch["image"]
         _, kd = jax.random.split(k)
         logits, aux, _, _ = _forward(params, batch_stats, kd, images, cid)
         probs = jax.nn.softmax(logits, axis=-1)
-        aux_r = [_resize_bilinear(a, (H, W)) for a in aux]
         lin = (
             jnp.sum(probs * jax.lax.stop_gradient(dp).astype(probs.dtype))
-            + jnp.sum(aux_r[0] * jax.lax.stop_gradient(d1).astype(probs.dtype))
-            + jnp.sum(aux_r[1] * jax.lax.stop_gradient(d2).astype(probs.dtype))
-            + jnp.sum(aux_r[2] * jax.lax.stop_gradient(d3).astype(probs.dtype))
+            + jnp.sum(aux[0] * jax.lax.stop_gradient(d1).astype(probs.dtype))
+            + jnp.sum(aux[1] * jax.lax.stop_gradient(d2).astype(probs.dtype))
+            + jnp.sum(aux[2] * jax.lax.stop_gradient(d3).astype(probs.dtype))
         )
         return lin - jax.lax.stop_gradient(lin)
 

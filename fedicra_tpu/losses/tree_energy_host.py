@@ -2,7 +2,7 @@
 
 Used by the split-step trainer (engine/split_trainer.py) on platforms whose
 PJRT runtime cannot host callbacks inside jit: the device program ships
-(prob, guide image, resized aux heads, ROI) to the host, this module runs
+(prob, guide image, native-res aux heads, ROI) to the host, this module runs
 the full recursive filter chain with the native C++ tree filter and returns
 the loss plus d(loss)/d(prob, aux1, aux2, aux3); the device program then
 injects those cotangents linearly into the objective.
@@ -45,6 +45,47 @@ def _low_structure_cached(low_f: np.ndarray, eu, ev, sigma: float):
     return structure
 
 
+def linear_resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Row-stochastic [n_out, n_in] matrix reproducing jax.image.resize
+    method='linear' upsampling (half-pixel centers, edge clamp) exactly."""
+    W = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        pos = (i + 0.5) * scale - 0.5
+        j0 = int(np.floor(pos))
+        f = pos - j0
+        a = min(max(j0, 0), n_in - 1)
+        b = min(max(j0 + 1, 0), n_in - 1)
+        W[i, a] += 1.0 - f
+        W[i, b] += f
+    return W
+
+
+def resize_up_host(x: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Bilinear upsample [B,h,w,C] -> [B,H,W,C], == jax resize 'linear'."""
+    b, h, w, c = x.shape
+    if (h, w) == (H, W):
+        return x
+    Wh = linear_resize_matrix(H, h)
+    Ww = linear_resize_matrix(W, w)
+    y = np.einsum("Hh,bhwc->bHwc", Wh, x)
+    return np.einsum("Ww,bhwc->bhWc", Ww, y)
+
+
+def resize_adjoint_host(d: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Adjoint of resize_up_host: pull a full-res cotangent [B,H,W,C] back
+    to the native resolution [B,h,w,C] (R^T d). Linearity makes injecting
+    native-res cotangents into the native-res aux heads exactly equivalent
+    to injecting full-res cotangents into resized heads."""
+    b, H, W, c = d.shape
+    if (H, W) == (h, w):
+        return d
+    Wh = linear_resize_matrix(H, h)
+    Ww = linear_resize_matrix(W, w)
+    y = np.einsum("Hh,bHWc->bhWc", Wh, d)
+    return np.einsum("Ww,bhWc->bhwc", Ww, y)
+
+
 def _filter_fwd(embed, x, eu, ev, sigma, low_tree):
     from .. import native
 
@@ -63,7 +104,7 @@ def _filter_bwd(embed, x, g, eu, ev, sigma, low_tree):
 def multi_scale_tree_loss_host(
     prob: np.ndarray,  # [B,H,W,C] softmax probabilities
     low: np.ndarray,  # [B,H,W,D] guide image (3-channel)
-    aux1: np.ndarray,  # [B,H,W,C] full-res (already resized on device)
+    aux1: np.ndarray,  # [B,h1,w1,C] aux head at ANY resolution (native or full)
     aux2: np.ndarray,
     aux3: np.ndarray,
     rois: np.ndarray,  # [B,H,W]
@@ -72,7 +113,14 @@ def multi_scale_tree_loss_host(
     sigma: float = 0.02,
     recursive: bool = True,
 ) -> Tuple[float, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (loss, d_prob, d_aux1, d_aux2, d_aux3)."""
+    """Returns (loss, d_prob, d_aux1, d_aux2, d_aux3).
+
+    Aux heads may arrive at their native decoder resolution: they are
+    bilinearly upsampled here (== the device's jax.image.resize 'linear'),
+    and each returned d_aux_i is pulled back through the resize adjoint to
+    the *input* aux_i shape — so the caller injects it at native resolution
+    and by linearity gets exactly the full-res gradient.
+    """
     from ..ops.mst import grid_edges
 
     b, h, w, c = prob.shape
@@ -81,7 +129,8 @@ def multi_scale_tree_loss_host(
     flat = lambda t: np.ascontiguousarray(t.reshape(b, V, t.shape[-1]), np.float32)
     prob_f = flat(prob)
     low_f = flat(low)
-    a_f = [flat(aux1), flat(aux2), flat(aux3)]
+    aux_in = (aux1, aux2, aux3)
+    a_f = [flat(resize_up_host(np.asarray(a, np.float32), h, w)) for a in aux_in]
 
     if not recursive:
         raise NotImplementedError(
@@ -99,13 +148,9 @@ def multi_scale_tree_loss_host(
         low_f, prob_f, a_f[0], a_f[1], a_f[2], roi_b, scale, sigma, eu, ev,
         low_structure=_low_structure_cached(low_f, eu, ev, sigma),
     )
-    d_aux = [d_a1, d_a2, d_a3]
-
     unflat = lambda t, ch: t.reshape(b, h, w, ch)
-    return (
-        loss,
-        unflat(d_prob, c),
-        unflat(d_aux[0], c),
-        unflat(d_aux[1], c),
-        unflat(d_aux[2], c),
-    )
+    d_aux = [
+        resize_adjoint_host(unflat(d, c), a.shape[1], a.shape[2])
+        for d, a in zip((d_a1, d_a2, d_a3), aux_in)
+    ]
+    return (loss, unflat(d_prob, c), d_aux[0], d_aux[1], d_aux[2])

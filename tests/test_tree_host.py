@@ -51,6 +51,61 @@ def test_host_filter_matches_jax_path_values_and_grads():
                                    atol=2e-4)
 
 
+def test_host_resize_matches_jax_linear():
+    """resize_up_host must reproduce jax.image.resize(method='linear')
+    exactly — the device model's aux upsampling — for the odd shape ratios
+    the decoder heads produce (4x, 2x, and non-divisor cases)."""
+    from fedicra_tpu.losses.tree_energy_host import resize_up_host
+
+    rng = np.random.default_rng(5)
+    for h, w, H, W in [(4, 4, 16, 16), (6, 6, 12, 12), (3, 5, 12, 20),
+                       (7, 7, 12, 12), (12, 12, 12, 12)]:
+        x = rng.normal(size=(2, h, w, 3)).astype(np.float32)
+        want = np.asarray(
+            jax.image.resize(jnp.asarray(x), (2, H, W, 3), method="linear")
+        )
+        got = resize_up_host(x, H, W)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_host_loss_native_res_aux_equals_full_res():
+    """Shipping native-res aux + adjoint-mapped cotangents is exactly
+    equivalent to the old full-res protocol: same loss, same d_prob, and
+    <d_native, delta> == <d_full, resize(delta)> for any perturbation."""
+    from fedicra_tpu.losses.tree_energy import _resize_bilinear
+    from fedicra_tpu.losses.tree_energy_host import (
+        multi_scale_tree_loss_host,
+        resize_up_host,
+    )
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 12, 12, 3
+    prob = rng.uniform(0.05, 1.0, size=(B, H, W, C)).astype(np.float32)
+    prob /= prob.sum(-1, keepdims=True)
+    low = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    aux = [rng.normal(size=(B, H // s, W // s, C)).astype(np.float32)
+           for s in (4, 2, 1)]
+    rois = rng.integers(0, 2, size=(B, H, W)).astype(np.float32)
+
+    aux_full = [np.asarray(_resize_bilinear(jnp.asarray(a), (H, W)))
+                for a in aux]
+    v_full, dp_full, *d_full = multi_scale_tree_loss_host(
+        prob, low, *aux_full, rois, 0.1
+    )
+    v_nat, dp_nat, *d_nat = multi_scale_tree_loss_host(
+        prob, low, *aux, rois, 0.1
+    )
+
+    np.testing.assert_allclose(v_nat, v_full, rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(dp_nat, dp_full, rtol=2e-3, atol=1e-6)
+    for a, dn, df in zip(aux, d_nat, d_full):
+        assert dn.shape == a.shape
+        delta = rng.normal(size=a.shape).astype(np.float32)
+        lhs = float(np.vdot(dn, delta))
+        rhs = float(np.vdot(df, resize_up_host(delta, H, W)))
+        np.testing.assert_allclose(lhs, rhs, rtol=2e-3, atol=1e-5)
+
+
 def test_host_filter_under_jit():
     logits, image, aux, rois = _inputs(seed=3)
 
