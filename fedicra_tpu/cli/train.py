@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_iterations", type=int, default=30000)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--eval_iters", type=int, default=20)
+    p.add_argument("--ckpt_iters", type=int, default=3000,
+                   help="periodic-checkpoint cadence in global iterations "
+                        "(reference hardcodes 3000)")
     p.add_argument("--batch_size", type=int, default=12)
     p.add_argument("--base_lr", type=float, default=0.01)
     p.add_argument("--alpha", type=float, default=0.5)
@@ -79,6 +82,7 @@ def main(argv=None):
         max_iterations=args.max_iterations,
         iters=args.iters,
         eval_iters=args.eval_iters,
+        ckpt_iters=args.ckpt_iters,
         batch_size=args.batch_size,
         base_lr=args.base_lr,
         alpha=args.alpha,

@@ -76,6 +76,15 @@ class TrainConfig:
     max_iterations: int = 30000
     iters: int = 10  # local iterations per federated round
     eval_iters: int = 20
+    # periodic-checkpoint cadence in global iterations (reference hardcodes
+    # 3000, flower_common.py:367-381); configurable so short runs can still
+    # snapshot
+    ckpt_iters: int = 3000
+    # greenfield safety absent in the reference (whose MyServer logs and
+    # continues forever, flower_common.py:263-265): stop the run after this
+    # many consecutive aborted rounds — a persistently failing backend (e.g.
+    # device OOM) would otherwise silently burn the whole round budget
+    max_consecutive_failures: int = 10
     rep_iters: int = 3  # body-phase iterations per round (FedICRA)
     alpha: float = 0.5  # contrast loss weight
     tree_loss_weight: float = 0.1

@@ -166,13 +166,24 @@ class FederatedServer:
         max_iters = num_rounds or self.cfg.max_iterations
         start = self.current_round + self.cfg.iters
         t0 = time.perf_counter()
+        consecutive_failures = 0
         for current_round in range(start, max_iters + self.cfg.iters, self.cfg.iters):
             round_t0 = time.perf_counter()
             fit_metrics = self.fit_round(current_round)
             self.current_round = current_round
             if fit_metrics is None:  # aborted round: log and continue
                 self.history.append({"round": current_round, "aborted": True})
+                consecutive_failures += 1
+                if consecutive_failures >= self.cfg.max_consecutive_failures:
+                    print(
+                        f"[round {current_round}] "
+                        f"{consecutive_failures} consecutive aborted rounds; "
+                        "backend presumed dead, stopping the run",
+                        flush=True,
+                    )
+                    break
                 continue
+            consecutive_failures = 0
             self.writer.write(current_round, fit_metrics)
 
             record = {"round": current_round, **fit_metrics}
@@ -192,7 +203,7 @@ class FederatedServer:
                             current_round,
                             mean_dice,
                         )
-            if self.ckpt and current_round % 3000 == 0:
+            if self.ckpt and current_round % self.cfg.ckpt_iters == 0:
                 self.ckpt.save_periodic(
                     self.global_payload,
                     {c.cid: c.state for c in self.clients},

@@ -36,18 +36,24 @@ _build_failed = False
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     srcs = [os.path.join(_HERE, s) for s in _SOURCES if os.path.exists(os.path.join(_HERE, s))]
+    # link to a temp path and atomically rename: writing _LIB_PATH in place
+    # would truncate a file other live processes may have dlopen-mapped
+    # (SIGBUS for them)
+    tmp = _LIB_PATH + f".tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops", "-fPIC", "-shared",
-        "-std=c++17", "-pthread", "-o", _LIB_PATH, *srcs,
+        "-std=c++17", "-pthread", "-o", tmp, *srcs,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
         return ctypes.CDLL(_LIB_PATH)
     except Exception:
         # retry without -march=native (unsupported on some toolchains)
         try:
             cmd.remove("-march=native")
             subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, _LIB_PATH)
             return ctypes.CDLL(_LIB_PATH)
         except Exception:
             _build_failed = True

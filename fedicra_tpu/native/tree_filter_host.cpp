@@ -84,7 +84,20 @@ void mst_select(const int* eu, const int* ev, const float* w, int E, int V,
 struct Tree {
   std::vector<int> parent;  // parent vertex (root: self)
   std::vector<int> order;   // BFS order from root 0
+  // parent position in BFS order: ppos[qi] = index of parent(order[qi]) in
+  // `order` (< qi; root maps to 0). All scan state lives in BFS-relabeled
+  // arrays so the dependency passes stream memory sequentially — the same
+  // layout trick as the reference's sorted_index/sorted_parent
+  // (bfs.cu:46-98) — instead of pointer-chasing the vertex space.
+  std::vector<int> ppos;
 };
+
+void finish_tree(Tree& t, int V) {
+  std::vector<int> pos((size_t)V);
+  for (int qi = 0; qi < V; ++qi) pos[t.order[qi]] = qi;
+  t.ppos.resize((size_t)V);
+  for (int qi = 0; qi < V; ++qi) t.ppos[qi] = pos[t.parent[t.order[qi]]];
+}
 
 void root_tree(const int* eu, const int* ev, const std::vector<uint8_t>& sel,
                int E, int V, Tree& t) {
@@ -111,29 +124,31 @@ void root_tree(const int* eu, const int* ev, const std::vector<uint8_t>& sel,
       }
     }
   }
+  finish_tree(t, V);
 }
 
-// upward + downward passes over CH channels; in/out row-major [V, CH]
-void two_pass(const std::vector<float>& in, const std::vector<float>& w,
-              const Tree& t, int V, int CH, std::vector<float>& A,
-              std::vector<float>& F) {
-  A = in;
+// upward + downward passes over CH channels, all arrays in BFS order
+// (in/out row-major [V, CH] indexed by BFS position, weights w_ord[qi]).
+// Reads stream sequentially; the only irregular accesses are the
+// parent-position rows, which BFS order keeps close in memory.
+void two_pass_ord(const std::vector<float>& in_ord,
+                  const std::vector<float>& w_ord, const Tree& t, int V,
+                  int CH, std::vector<float>& A, std::vector<float>& F) {
+  A = in_ord;
+  const int* ppos = t.ppos.data();
   for (int qi = V - 1; qi >= 1; --qi) {
-    int v = t.order[qi];
-    int p = t.parent[v];
-    float wv = w[v];
-    const float* av = &A[(size_t)v * CH];
-    float* ap = &A[(size_t)p * CH];
+    float wv = w_ord[qi];
+    const float* av = &A[(size_t)qi * CH];
+    float* ap = &A[(size_t)ppos[qi] * CH];
     for (int c = 0; c < CH; ++c) ap[c] += wv * av[c];
   }
-  F.assign((size_t)V * CH, 0.f);
-  for (int qi = 0; qi < V; ++qi) {
-    int v = t.order[qi];
-    int p = t.parent[v];
-    float wv = (v == 0) ? 0.f : w[v];
-    const float* av = &A[(size_t)v * CH];
-    const float* fp = &F[(size_t)p * CH];
-    float* fv = &F[(size_t)v * CH];
+  F.resize((size_t)V * CH);
+  for (int c = 0; c < CH; ++c) F[c] = A[c];  // root: w=0
+  for (int qi = 1; qi < V; ++qi) {
+    float wv = w_ord[qi];
+    const float* av = &A[(size_t)qi * CH];
+    const float* fp = &F[(size_t)ppos[qi] * CH];
+    float* fv = &F[(size_t)qi * CH];
     float k = 1.f - wv * wv;
     for (int c = 0; c < CH; ++c) fv[c] = av[c] * k + wv * fp[c];
   }
@@ -161,8 +176,9 @@ void filter_one(const float* embed, const float* x, const float* gout,
   root_tree(eu, ev, sel, E, V, t);
 
   const float inv_sigma = low_tree ? (1.f / sigma) : 1.f;
-  std::vector<float> w((size_t)V, 0.f), dist((size_t)V, 0.f);
-  for (int v = 1; v < V; ++v) {
+  std::vector<float> w_ord((size_t)V, 0.f);
+  for (int qi = 1; qi < V; ++qi) {
+    int v = t.order[qi];
     int p = t.parent[v];
     const float* a = embed + (size_t)v * D;
     const float* b = embed + (size_t)p * D;
@@ -171,55 +187,59 @@ void filter_one(const float* embed, const float* x, const float* gout,
       float df = a[d] - b[d];
       s += df * df;
     }
-    dist[v] = s;
-    w[v] = std::exp(-s * inv_sigma);
+    w_ord[qi] = std::exp(-s * inv_sigma);
   }
-  w[0] = 0.f;
 
-  // forward on [x, 1]
+  // forward on [x, 1], BFS-relabeled
   const int CH = C + 1;
   std::vector<float> xin((size_t)V * CH);
-  for (int v = 0; v < V; ++v) {
-    for (int c = 0; c < C; ++c) xin[(size_t)v * CH + c] = x[(size_t)v * C + c];
-    xin[(size_t)v * CH + C] = 1.f;
+  for (int qi = 0; qi < V; ++qi) {
+    const float* xv = x + (size_t)t.order[qi] * C;
+    for (int c = 0; c < C; ++c) xin[(size_t)qi * CH + c] = xv[c];
+    xin[(size_t)qi * CH + C] = 1.f;
   }
   std::vector<float> A, F;
-  two_pass(xin, w, t, V, CH, A, F);
-  for (int v = 0; v < V; ++v) {
-    float z = F[(size_t)v * CH + C];
-    for (int c = 0; c < C; ++c)
-      y[(size_t)v * C + c] = F[(size_t)v * CH + c] / z;
+  two_pass_ord(xin, w_ord, t, V, CH, A, F);
+  for (int qi = 0; qi < V; ++qi) {
+    float z = F[(size_t)qi * CH + C];
+    float* yv = y + (size_t)t.order[qi] * C;
+    for (int c = 0; c < C; ++c) yv[c] = F[(size_t)qi * CH + c] / z;
   }
   if (!gout) return;
 
   // backward: a = g/z, tsig = g*y/z  -> A/F over 2C channels
   const int CH2 = 2 * C;
   std::vector<float> at((size_t)V * CH2);
-  for (int v = 0; v < V; ++v) {
-    float z = F[(size_t)v * CH + C];
+  for (int qi = 0; qi < V; ++qi) {
+    int v = t.order[qi];
+    float z = F[(size_t)qi * CH + C];
+    const float* gv = gout + (size_t)v * C;
+    const float* yv = y + (size_t)v * C;
     for (int c = 0; c < C; ++c) {
-      float g = gout[(size_t)v * C + c];
-      at[(size_t)v * CH2 + c] = g / z;
-      at[(size_t)v * CH2 + C + c] = g * y[(size_t)v * C + c] / z;
+      at[(size_t)qi * CH2 + c] = gv[c] / z;
+      at[(size_t)qi * CH2 + C + c] = gv[c] * yv[c] / z;
     }
   }
   std::vector<float> Aat, Fat;
-  two_pass(at, w, t, V, CH2, Aat, Fat);
-  for (int v = 0; v < V; ++v)
-    for (int c = 0; c < C; ++c)
-      dx[(size_t)v * C + c] = Fat[(size_t)v * CH2 + c];
+  two_pass_ord(at, w_ord, t, V, CH2, Aat, Fat);
+  for (int qi = 0; qi < V; ++qi) {
+    float* dxv = dx + (size_t)t.order[qi] * C;
+    for (int c = 0; c < C; ++c) dxv[c] = Fat[(size_t)qi * CH2 + c];
+  }
 
   if (low_tree || !dembed) return;
 
   std::memset(dembed, 0, sizeof(float) * (size_t)V * D);
-  for (int v = 1; v < V; ++v) {
+  for (int qi = 1; qi < V; ++qi) {
+    int v = t.order[qi];
     int p = t.parent[v];
-    float wv = w[v];
+    int pq = t.ppos[qi];
+    float wv = w_ord[qi];
     float s1 = 0.f, s2 = 0.f;
-    const float* Av = &A[(size_t)v * CH];
-    const float* Fp = &F[(size_t)p * CH];
-    const float* Aav = &Aat[(size_t)v * CH2];
-    const float* Fap = &Fat[(size_t)p * CH2];
+    const float* Av = &A[(size_t)qi * CH];
+    const float* Fp = &F[(size_t)pq * CH];
+    const float* Aav = &Aat[(size_t)qi * CH2];
+    const float* Fap = &Fat[(size_t)pq * CH2];
     for (int c = 0; c < C; ++c) {
       float A_x = Av[c], F_xp = Fp[c];
       float A_a = Aav[c], F_ap = Fap[c];
@@ -285,8 +305,8 @@ namespace {
 
 struct LevelState {
   Tree t;
-  std::vector<float> w;      // edge weight to parent [V]
-  std::vector<float> A, F;   // residuals over C+1 channels
+  std::vector<float> w;      // edge weight to parent, BFS-ordered: w[qi]
+  std::vector<float> A, F;   // residuals over C+1 channels, BFS-ordered
 };
 
 // Kruskal over an LSD radix sort (3 x 11-bit passes on the order-preserving
@@ -355,7 +375,8 @@ void build_level(const float* embed, int D, const int* eu, const int* ev,
   mst_kruskal(eu, ev, mw.data(), E, V, sel);
   root_tree(eu, ev, sel, E, V, L.t);
   L.w.assign((size_t)V, 0.f);
-  for (int v = 1; v < V; ++v) {
+  for (int qi = 1; qi < V; ++qi) {
+    int v = L.t.order[qi];
     int p = L.t.parent[v];
     const float* a = embed + (size_t)v * D;
     const float* b = embed + (size_t)p * D;
@@ -364,60 +385,70 @@ void build_level(const float* embed, int D, const int* eu, const int* ev,
       float df = a[d] - b[d];
       s += df * df;
     }
-    L.w[v] = std::exp(-s * inv_sigma);
+    L.w[qi] = std::exp(-s * inv_sigma);
   }
-  L.w[0] = 0.f;
 }
 
-// forward filter of x (C channels + appended ones) through level L
+// forward filter of x (C channels + appended ones, vertex order) through
+// level L; y returned in vertex order (it feeds the next level, which
+// gathers by its own BFS order)
 void level_forward(LevelState& L, const float* x, int V, int C,
                    std::vector<float>& y) {
   const int CH = C + 1;
+  const int* ord = L.t.order.data();
   std::vector<float> xin((size_t)V * CH);
-  for (int v = 0; v < V; ++v) {
-    for (int c = 0; c < C; ++c) xin[(size_t)v * CH + c] = x[(size_t)v * C + c];
-    xin[(size_t)v * CH + C] = 1.f;
+  for (int qi = 0; qi < V; ++qi) {
+    const float* xv = x + (size_t)ord[qi] * C;
+    for (int c = 0; c < C; ++c) xin[(size_t)qi * CH + c] = xv[c];
+    xin[(size_t)qi * CH + C] = 1.f;
   }
-  two_pass(xin, L.w, L.t, V, CH, L.A, L.F);
+  two_pass_ord(xin, L.w, L.t, V, CH, L.A, L.F);
   y.resize((size_t)V * C);
-  for (int v = 0; v < V; ++v) {
-    float z = L.F[(size_t)v * CH + C];
-    for (int c = 0; c < C; ++c)
-      y[(size_t)v * C + c] = L.F[(size_t)v * CH + c] / z;
+  for (int qi = 0; qi < V; ++qi) {
+    float z = L.F[(size_t)qi * CH + C];
+    float* yv = y.data() + (size_t)ord[qi] * C;
+    for (int c = 0; c < C; ++c) yv[c] = L.F[(size_t)qi * CH + c] / z;
   }
 }
 
-// backward through level L: g (dL/dy) -> dx; accumulate dembed (if embed)
+// backward through level L: g (dL/dy, vertex order) -> dx (vertex order);
+// accumulate dembed (if embed)
 void level_backward(LevelState& L, const float* x, const float* y,
                     const float* g, const float* embed, int D, int V, int C,
                     float inv_sigma, std::vector<float>& dx, float* dembed) {
   const int CH = C + 1;
   const int CH2 = 2 * C;
+  const int* ord = L.t.order.data();
   std::vector<float> at((size_t)V * CH2);
-  for (int v = 0; v < V; ++v) {
-    float z = L.F[(size_t)v * CH + C];
+  for (int qi = 0; qi < V; ++qi) {
+    int v = ord[qi];
+    float z = L.F[(size_t)qi * CH + C];
+    const float* gv = g + (size_t)v * C;
+    const float* yv = y + (size_t)v * C;
     for (int c = 0; c < C; ++c) {
-      float gv = g[(size_t)v * C + c];
-      at[(size_t)v * CH2 + c] = gv / z;
-      at[(size_t)v * CH2 + C + c] = gv * y[(size_t)v * C + c] / z;
+      at[(size_t)qi * CH2 + c] = gv[c] / z;
+      at[(size_t)qi * CH2 + C + c] = gv[c] * yv[c] / z;
     }
   }
   std::vector<float> Aat, Fat;
-  two_pass(at, L.w, L.t, V, CH2, Aat, Fat);
+  two_pass_ord(at, L.w, L.t, V, CH2, Aat, Fat);
   dx.resize((size_t)V * C);
-  for (int v = 0; v < V; ++v)
-    for (int c = 0; c < C; ++c)
-      dx[(size_t)v * C + c] = Fat[(size_t)v * CH2 + c];
+  for (int qi = 0; qi < V; ++qi) {
+    float* dxv = dx.data() + (size_t)ord[qi] * C;
+    for (int c = 0; c < C; ++c) dxv[c] = Fat[(size_t)qi * CH2 + c];
+  }
 
   if (!dembed) return;
-  for (int v = 1; v < V; ++v) {
+  for (int qi = 1; qi < V; ++qi) {
+    int v = ord[qi];
     int p = L.t.parent[v];
-    float wv = L.w[v];
+    int pq = L.t.ppos[qi];
+    float wv = L.w[qi];
     float s1 = 0.f, s2 = 0.f;
-    const float* Av = &L.A[(size_t)v * CH];
-    const float* Fp = &L.F[(size_t)p * CH];
-    const float* Aav = &Aat[(size_t)v * CH2];
-    const float* Fap = &Fat[(size_t)p * CH2];
+    const float* Av = &L.A[(size_t)qi * CH];
+    const float* Fp = &L.F[(size_t)pq * CH];
+    const float* Aav = &Aat[(size_t)qi * CH2];
+    const float* Fap = &Fat[(size_t)pq * CH2];
     for (int c = 0; c < C; ++c) {
       s1 += Aav[c] * (Fp[c] - wv * Av[c]) + Av[c] * (Fap[c] - wv * Aav[c]);
       s2 += Aav[C + c] * (Fp[C] - wv * Av[C]) +
@@ -450,9 +481,11 @@ void chain_one(const float* low, const float* prob, const float* a1,
   if (low_parent) {
     // precomputed low-level structure (the guide image repeats across
     // epoch-replayed batches — reference quirk #9 — so its MST/rooting is
-    // cacheable; see tree_low_structure_build)
+    // cacheable; see tree_low_structure_build). low_w is BFS-ordered, as
+    // tree_low_structure_build stores it.
     Llow.t.parent.assign(low_parent, low_parent + V);
     Llow.t.order.assign(low_order, low_order + V);
+    finish_tree(Llow.t, V);
     Llow.w.assign(low_w, low_w + V);
   } else {
     build_level(low, D, eu, ev, E, V, 1.f / sigma, Llow);

@@ -152,3 +152,25 @@ def test_fedicra_personalization_diverges_heads(monkeypatch):
         flat = traverse_util.flatten_dict(c.state.params)
         heads.append(np.asarray(flat[("decoder", "out_conv", "conv", "kernel")]))
     assert not np.allclose(heads[0], heads[1])
+
+
+def test_server_stops_after_consecutive_failures():
+    """A persistently failing backend must stop the run instead of burning
+    the whole round budget on aborted rounds (greenfield safety; the
+    reference's MyServer continues forever, flower_common.py:263-265)."""
+    from fedicra_tpu.federation.server import FederatedServer
+
+    cfg = _tiny_cfg(max_iterations=100, max_consecutive_failures=3)
+
+    class DeadClient:
+        cid = 0
+        state = None
+
+        def fit(self, ins):
+            raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
+
+    server = FederatedServer(cfg, [DeadClient()], strategy=None,
+                             initial_payload=None)
+    server.run(progress=False)
+    aborted = [r for r in server.history if r.get("aborted")]
+    assert len(aborted) == 3  # stopped at the cap, not 50 rounds
