@@ -33,6 +33,7 @@ class EpochBatcher:
         img_class: str,
         seed: int = 2022,
         augment: bool = True,
+        source: Optional["EpochBatcher"] = None,
     ):
         self.split = split
         self.batch_size = batch_size
@@ -45,8 +46,23 @@ class EpochBatcher:
         self._epoch_cache: Optional[int] = None
         self._epoch_images = None
         self._epoch_labels = None
-        self._images_dev = jnp.asarray(split.images)
-        self._labels_dev = jnp.asarray(split.labels)
+        if source is not None:
+            # share the device-resident dataset of another batcher over the
+            # same split (e.g. the ALA stream): HBM holds ONE copy
+            self._images_dev = source._images_dev
+            self._labels_dev = source._labels_dev
+        else:
+            self._images_dev = jnp.asarray(split.images)
+            self._labels_dev = jnp.asarray(split.labels)
+
+    def drop_epoch_cache(self) -> None:
+        """Free the device-resident epoch arrays. Safe anytime:
+        _materialize_epoch(epoch) is a pure function of (base_key, epoch), so
+        a later rebuild reproduces the identical epoch — replay semantics
+        (reference quirk #9) are unaffected, only HBM residency shrinks."""
+        self._epoch_cache = None
+        self._epoch_images = None
+        self._epoch_labels = None
 
     def _materialize_epoch(self, epoch: int):
         key = jax.random.fold_in(self.base_key, epoch)

@@ -83,6 +83,10 @@ def make_ala_epoch_fn(model, cfg: TrainConfig):
         }
         params = _merge(merged_g, rest)
 
+        # rematerialized: inside the epoch scan the fwd activations of a
+        # 384^2 bs-12 U-Net would otherwise sit live through the backward,
+        # on top of the (already near-HBM-ceiling) resident training step
+        @jax.checkpoint
         def ce(params_):
             out = model.apply(
                 {"params": params_, "batch_stats": stats},

@@ -55,13 +55,15 @@ class FederatedClient:
             seed=cfg.seed * 1000 + cid,
         )
         # ALA iterates the dataloader afresh (new shuffle+augmentation per
-        # epoch), separate stream from the training batches
+        # epoch), separate stream from the training batches; shares the
+        # device-resident dataset with the train batcher (one HBM copy)
         self._ala_batcher = EpochBatcher(
             train_split,
             cfg.batch_size,
             cfg.num_classes,
             cfg.img_class,
             seed=cfg.seed * 1000 + 500 + cid,
+            source=self.batcher,
         )
         self._ala_epoch_counter = 0
         self.val_split = val_split
@@ -95,6 +97,11 @@ class FederatedClient:
                 int(config.get("iter_global", 0)),
                 self.start_phase,
             )
+            # free the ALA stream's augmented-epoch device arrays until next
+            # round (rebuilt deterministically; keeps peak HBM down — at
+            # ALA activation every client would otherwise pin a second
+            # epoch-sized buffer for the rest of the run)
+            self._ala_batcher.drop_epoch_cache()
         else:
             params, stats = payload["params"], payload["batch_stats"]
         self.state = self.state._replace(params=params, batch_stats=stats)
@@ -122,6 +129,11 @@ class FederatedClient:
         scalar_metrics[f"client_{self.cid}_vis_gt"] = np.asarray(
             batches["label"][-1, vis_idx]
         )
+        # keep only one client's epoch cache resident at a time (rebuilt
+        # deterministically next round); with 5 clients on one chip the
+        # caches would otherwise stack up beside the training step's peak
+        del batches
+        self.batcher.drop_epoch_cache()
         return FitRes(
             payload={
                 "params": self.state.params,
