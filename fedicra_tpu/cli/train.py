@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_iters", type=int, default=3000,
                    help="periodic-checkpoint cadence in global iterations "
                         "(reference hardcodes 3000)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a previous run from the snapshot dir's "
+                        "resume checkpoint (saved every --ckpt_iters)")
     p.add_argument("--batch_size", type=int, default=12)
     p.add_argument("--base_lr", type=float, default=0.01)
     p.add_argument("--alpha", type=float, default=0.5)
@@ -156,6 +159,8 @@ def main(argv=None):
         snapshot_dir=snapshot_dir,
         limit_per_client=args.limit_per_client,
     )
+    if args.resume:
+        server.try_resume()
     history = server.run(num_rounds=args.stop_after)
     if history:
         last = {k: v for k, v in history[-1].items() if isinstance(v, float)}

@@ -57,6 +57,53 @@ class FederatedServer:
         self.current_round = 0  # in global-iteration units
         self.history: List[Dict] = []
 
+    def _resume_state(self) -> Dict:
+        """Full restart state: server progress + every client's training
+        state and ALA phase. Saved alongside each periodic checkpoint."""
+        return {
+            "server": {
+                "current_round": self.current_round,
+                "best_dice": self.best_dice,
+            },
+            "global": self.global_payload,
+            "clients": {
+                str(c.cid): {
+                    "state": c.state._asdict(),
+                    "start_phase": c.start_phase,
+                    "ala_epochs": c._ala_epoch_counter,
+                    "best_performance": c.best_performance,
+                    "rng": c._rng,
+                }
+                for c in self.clients
+            },
+        }
+
+    def try_resume(self) -> bool:
+        """Restore a previous run's resume snapshot from the snapshot dir
+        (greenfield capability — the reference can only save, never resume).
+        Returns True when a snapshot was found and installed."""
+        if not self.ckpt:
+            return False
+        restored = self.ckpt.restore_resume(self._resume_state())
+        if restored is None:
+            return False
+        self.current_round = int(restored["server"]["current_round"])
+        self.best_dice = float(restored["server"]["best_dice"])
+        self.global_payload = restored["global"]
+        for c in self.clients:
+            rc = restored["clients"][str(c.cid)]
+            c.state = type(c.state)(**rc["state"])
+            c.start_phase = bool(rc["start_phase"])
+            c._ala_epoch_counter = int(rc["ala_epochs"])
+            c.best_performance = float(rc["best_performance"])
+            c._rng = rc["rng"]
+        print(
+            f"[resume] restored run at iteration {self.current_round} "
+            f"(best_dice {self.best_dice:.4f})",
+            flush=True,
+        )
+        return True
+
     def fit_round(self, current_round: int) -> Optional[Dict[str, float]]:
         """One fit round. Returns None (round aborted, no aggregation) when
         any client fails — the reference's accept_failures=False semantics
@@ -209,6 +256,7 @@ class FederatedServer:
                     {c.cid: c.state for c in self.clients},
                     current_round,
                 )
+                self.ckpt.save_resume(self._resume_state())
             record["round_duration"] = time.perf_counter() - round_t0
             self.history.append(record)
             if progress:

@@ -174,3 +174,36 @@ def test_server_stops_after_consecutive_failures():
     server.run(progress=False)
     aborted = [r for r in server.history if r.get("aborted")]
     assert len(aborted) == 3  # stopped at the cap, not 50 rounds
+
+
+def test_server_resume_continues_identically(tmp_path):
+    """Kill-and-resume must reproduce the uninterrupted trajectory exactly:
+    the resume snapshot carries server progress, client states, ALA phase,
+    and client rngs (greenfield capability; the reference cannot resume)."""
+    mk = lambda: _tiny_cfg(
+        strategy="FedAvg", procedure="pce", model="unet_lc_multihead",
+        iters=2, eval_iters=1000, ckpt_iters=4, max_iterations=1000,
+    )
+
+    # uninterrupted: 8 iterations
+    s_full = build_experiment(mk(), limit_per_client=4)
+    h_full = s_full.run(num_rounds=8, progress=False)
+
+    # interrupted: 4 iterations, snapshot, fresh process-equivalent, resume
+    d = str(tmp_path / "snap")
+    s_a = build_experiment(mk(), snapshot_dir=d, limit_per_client=4)
+    s_a.run(num_rounds=4, progress=False)
+
+    s_b = build_experiment(mk(), snapshot_dir=d, limit_per_client=4)
+    assert s_b.try_resume()
+    assert s_b.current_round == 4
+    h_b = s_b.run(num_rounds=8, progress=False)
+
+    last_full = {k: v for k, v in h_full[-1].items()
+                 if isinstance(v, float) and "loss" in k}
+    last_b = {k: v for k, v in h_b[-1].items()
+              if isinstance(v, float) and "loss" in k}
+    assert last_full.keys() == last_b.keys() and len(last_full) > 0
+    for k in last_full:
+        np.testing.assert_allclose(last_b[k], last_full[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
