@@ -221,7 +221,10 @@ class FederatedServer:
             if fit_metrics is None:  # aborted round: log and continue
                 self.history.append({"round": current_round, "aborted": True})
                 consecutive_failures += 1
-                if consecutive_failures >= self.cfg.max_consecutive_failures:
+                # getattr: duck-typed cfg stubs (tests, embedders) predate
+                # this field
+                cap = getattr(self.cfg, "max_consecutive_failures", 10)
+                if consecutive_failures >= cap:
                     print(
                         f"[round {current_round}] "
                         f"{consecutive_failures} consecutive aborted rounds; "
@@ -250,7 +253,7 @@ class FederatedServer:
                             current_round,
                             mean_dice,
                         )
-            if self.ckpt and current_round % self.cfg.ckpt_iters == 0:
+            if self.ckpt and current_round % getattr(self.cfg, "ckpt_iters", 3000) == 0:
                 self.ckpt.save_periodic(
                     self.global_payload,
                     {c.cid: c.state for c in self.clients},
