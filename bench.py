@@ -1,23 +1,34 @@
 """Benchmark: full FedICRA "Ours" training iteration throughput on one chip.
 
 Measures images/sec/chip of the complete hot path — forward + partial CE +
-recursive multi-scale tree-energy loss (4 on-device MSTs + Euler-tour tree
-filters per image) + gated CRF + cross-client heatmap contrast (5 forwards)
-+ backward + AdamW — at the reference's headline config (ODOC: 384x384x3,
-batch 12, unet_lc_multihead, 5 clients).
+recursive multi-scale tree-energy loss + gated CRF + cross-client heatmap
+contrast + backward + AdamW — at the reference's headline config (ODOC:
+384x384x3, batch 12, unet_lc_multihead, 5 clients).
+
+Measurement protocol (round 3 — see VERDICT r2 weak #1/#2/#5):
+- cycles N_BATCHES (>=8) DISTINCT batches so the host low-tree LRU behaves
+  like real training (one cold pass to populate, then epoch-replay hits —
+  the reference replays a materialized epoch by index, quirk #9);
+- throughput = MEDIAN of >=3 timed windows (each window cycles the batch
+  set), cold first-pass window reported separately;
+- one extra instrumented window (FEDICRA_SPLIT_TIMING=1) records per-phase
+  wall-clock [part1+fetch | part2a | host tree chain | upload+part2b] and
+  compiled cost analysis; note the phase syncs defeat the part2a/host-chain
+  overlap, so the phase sum exceeds the pipelined iteration time;
+- MFU from compiled flops (part1+part2a+part2b) vs the chip's bf16 peak.
 
 Baseline anchor: the reference publishes no wall-clock numbers (BASELINE.md).
 The recorded estimate for its per-GPU training rate at this config is ~12
-images/s (dominated by the per-iteration CPU Boruvka round-trips:
-48 MSTs over 147k-vertex grids per iteration through mst.cu:93-114 plus
-5 torch forwards/backwards on a 2.3M-param U-Net). vs_baseline is
-ours / 12.0 until a measured reference number replaces it in BASELINE.md.
+images/s (dominated by the per-iteration CPU Boruvka round-trips through
+mst.cu:93-114 plus 5 torch forwards/backwards on a 2.3M-param U-Net).
+vs_baseline is ours / 12.0 until a measured reference number replaces it.
 
 Prints exactly one JSON line.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,16 +40,40 @@ import numpy as np
 
 REFERENCE_IMGS_PER_SEC_ESTIMATE = 12.0
 
+# bf16 MXU peak per chip by device kind (dense); fp32 runs via multi-pass
+# bf16 on the MXU, so MFU computed against the bf16 peak is conservative.
+PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
+
+
+def _peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return None
+
 
 def main():
     # allow a fast CI-size run with BENCH_SMALL=1
     small = os.environ.get("BENCH_SMALL") == "1"
     img = 128 if small else 384
     batch = 4 if small else 12
-    iters_timed = 3 if small else 10
+    n_batches = 4 if small else 8
+    window_iters = n_batches
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    phase_iters = 2 if small else 3
 
     from fedicra_tpu.engine import TrainConfig, init_client_state
+    from fedicra_tpu.engine import split_trainer
     from fedicra_tpu.engine.split_trainer import build_round_fn
+    from fedicra_tpu.losses.tree_energy_host import low_tree_cache_stats
     from fedicra_tpu.models import net_factory
 
     cfg = TrainConfig.for_task(
@@ -46,7 +81,7 @@ def main():
         img_size=img,
         batch_size=batch,
         iters=1,
-        rep_iters=0,  # single body-phase iteration per round_fn call... use 1 head iter
+        rep_iters=0,
         max_iterations=30000,
         strategy="FedICRA",
         procedure="ours",
@@ -54,7 +89,8 @@ def main():
     )
     # one full-body iteration per call: iters=1, rep_iters=1
     cfg = cfg.replace(iters=1, rep_iters=1)
-    if os.environ.get("BENCH_AMP") == "1":
+    amp = os.environ.get("BENCH_AMP") == "1"
+    if amp:
         cfg = cfg.replace(amp=True)
 
     model = net_factory(
@@ -68,16 +104,19 @@ def main():
     round_fn = build_round_fn(model, cfg)
 
     rng = np.random.default_rng(0)
-    batches = {
-        "image": jnp.asarray(
-            rng.uniform(size=(1, batch, img, img, cfg.in_chns)).astype(np.float32)
-        ),
-        "label": jnp.asarray(
-            rng.integers(0, cfg.num_classes + 1, size=(1, batch, img, img)).astype(
-                np.int32
-            )
-        ),
-    }
+    batch_list = []
+    for _ in range(n_batches):
+        batch_list.append({
+            "image": jnp.asarray(
+                rng.uniform(size=(1, batch, img, img, cfg.in_chns)).astype(
+                    np.float32)
+            ),
+            "label": jnp.asarray(
+                rng.integers(
+                    0, cfg.num_classes + 1, size=(1, batch, img, img)
+                ).astype(np.int32)
+            ),
+        })
     cid = jnp.asarray(1, jnp.int32)
 
     def sync(metrics):
@@ -85,27 +124,85 @@ def main():
         # runtimes (async dispatch reports completion early)
         return float(np.asarray(metrics["total_loss"])[-1])
 
-    # compile + warmup
-    state, m = round_fn(state, batches, cid)
+    # compile warmup on batch 0 (two calls: trace + steady dispatch)
+    state, m = round_fn(state, batch_list[0], cid)
     sync(m)
-    state, m = round_fn(state, batches, cid)
+    state, m = round_fn(state, batch_list[0], cid)
     sync(m)
 
+    # cold pass: first visit of every distinct batch (tree-cache misses,
+    # like the first epoch of real training); batch 0 is already cached
     t0 = time.perf_counter()
-    for _ in range(iters_timed):
-        state, metrics = round_fn(state, batches, cid)
-    last_loss = sync(metrics)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(last_loss), last_loss
+    for b in batch_list:
+        state, m = round_fn(state, b, cid)
+    cold_loss = sync(m)
+    cold_dt = time.perf_counter() - t0
+    cold_rate = n_batches * batch / cold_dt
 
-    imgs_per_sec = iters_timed * batch / dt
+    # warm windows: epoch replay (cache hits), median of n_windows
+    window_rates = []
+    last_loss = cold_loss
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for j in range(window_iters):
+            state, metrics = round_fn(state, batch_list[j % n_batches], cid)
+        last_loss = sync(metrics)
+        dt = time.perf_counter() - t0
+        window_rates.append(window_iters * batch / dt)
+    assert np.isfinite(last_loss), last_loss
+    median_rate = statistics.median(window_rates)
+
+    # instrumented window: per-phase wall-clock + compiled cost analysis
+    phases = {}
+    cost = {}
+    is_split = getattr(round_fn, "is_split", False)
+    if is_split:
+        split_trainer.reset_instrumentation()
+        os.environ["FEDICRA_SPLIT_TIMING"] = "1"
+        try:
+            for j in range(phase_iters):
+                state, m = round_fn(state, batch_list[j % n_batches], cid)
+            sync(m)
+        finally:
+            os.environ.pop("FEDICRA_SPLIT_TIMING", None)
+        log = split_trainer.phase_log()
+        if log:
+            phases = {
+                k: round(statistics.median(e[k] for e in log), 4)
+                for k in log[0]
+            }
+        cost = {
+            k: v for k, v in split_trainer.cost_analysis().items()
+            if v is not None
+        }
+
+    flops_per_iter = sum(v["flops"] for v in cost.values()) if cost else None
+    peak = _peak_flops()
+    sec_per_iter = batch / median_rate
+    mfu = (
+        round(flops_per_iter / sec_per_iter / peak, 4)
+        if flops_per_iter and peak
+        else None
+    )
+
     result = {
         "metric": "images_per_sec_per_chip (FedICRA 'Ours' full train step, ODOC 384^2 bs12)"
         if not small
         else "images_per_sec_per_chip (small config)",
-        "value": round(imgs_per_sec, 3),
+        "value": round(median_rate, 3),
         "unit": "images/s/chip",
-        "vs_baseline": round(imgs_per_sec / REFERENCE_IMGS_PER_SEC_ESTIMATE, 3),
+        "vs_baseline": round(median_rate / REFERENCE_IMGS_PER_SEC_ESTIMATE, 3),
+        "windows_imgs_per_sec": [round(r, 3) for r in window_rates],
+        "cold_pass_imgs_per_sec": round(cold_rate, 3),
+        "phase_seconds_median": phases,
+        "flops_per_iter": flops_per_iter,
+        "peak_flops_assumed": peak,
+        "mfu_vs_bf16_peak": mfu,
+        "tree_cache": low_tree_cache_stats(),
+        "amp": amp,
+        "n_distinct_batches": n_batches,
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))
 

@@ -37,6 +37,7 @@ and rng derivation mirror engine/trainer.py so trajectories agree.
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import Any, Dict, Tuple
 
@@ -54,6 +55,44 @@ from .objective import _contrast_loss
 from .trainer import ClientState, _adamw, _masked_opt, poly_lr
 
 Array = jax.Array
+
+# Opt-in instrumentation (FEDICRA_SPLIT_TIMING=1): per-iteration wall-clock
+# of each pipeline phase, with value-fetch syncs inserted between phases.
+# The syncs defeat the part2a/host overlap, so instrumented iterations are
+# SLOWER than production ones — bench.py therefore times throughput windows
+# uninstrumented and runs one extra instrumented window for the breakdown.
+_PHASE_LOG: list = []
+_COST_ANALYSIS: dict = {}
+
+
+def phase_log() -> list:
+    return _PHASE_LOG
+
+
+def cost_analysis() -> dict:
+    """Compiled-program cost analysis (flops/bytes) per jitted part, captured
+    on the first instrumented iteration when the backend supports it."""
+    return _COST_ANALYSIS
+
+
+def reset_instrumentation():
+    _PHASE_LOG.clear()
+    _COST_ANALYSIS.clear()
+
+
+def _capture_cost(name: str, jitted, *args):
+    if name in _COST_ANALYSIS:
+        return
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        _COST_ANALYSIS[name] = {
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
+        }
+    except Exception:
+        _COST_ANALYSIS[name] = None
 
 
 def _transfer_dtype():
@@ -124,6 +163,12 @@ def make_split_round_fn(model, cfg: TrainConfig):
 
         return fwd(params)
 
+    # 'ours' = pCE + CRF + contrast + recursive tree; 'treeenergy_add' =
+    # pCE + additive tree only (the runner-accepted ADD procedure whose
+    # script is absent upstream — engine/objective.py:_treeenergy_add)
+    use_crf = cfg.procedure == "ours"
+    tree_recursive = cfg.procedure == "ours"
+
     def loss_a_fn(params, batch_stats, k, batch, cid):
         """Every term that does NOT need the host tree results."""
         images, labels = batch["image"], batch["label"]
@@ -133,10 +178,17 @@ def make_split_round_fn(model, cfg: TrainConfig):
         )
         probs = jax.nn.softmax(logits, axis=-1)
         loss_ce = partial_cross_entropy(logits, labels, cfg.num_classes)
-        loss_crf = gated_crf_loss_auto(probs, images, radius=cfg.gatecrf_radius)
-        loss = loss_ce + cfg.gatecrf_weight * loss_crf
-        metrics = {"loss_ce": loss_ce, "loss_crf": loss_crf}
-        if cfg.fedicra:
+        metrics = {"loss_ce": loss_ce}
+        loss = loss_ce
+        if use_crf:
+            loss_crf = gated_crf_loss_auto(
+                probs, images, radius=cfg.gatecrf_radius
+            )
+            loss = loss + cfg.gatecrf_weight * loss_crf
+            metrics["loss_crf"] = loss_crf
+        if cfg.fedicra and use_crf:
+            # contrast belongs to the 'ours' objective only (the monolithic
+            # _treeenergy_add has no loss_lc; engine/objective.py:215-237)
             loss_lc, new_stats = _contrast_loss(
                 model, params, new_stats, images, hm_own, cid, rng, cfg
             )
@@ -220,6 +272,7 @@ def make_split_round_fn(model, cfg: TrainConfig):
 
         labels_np = np.asarray(batches["label"])
         images_np = np.asarray(batches["image"])
+        timing = os.environ.get("FEDICRA_SPLIT_TIMING") == "1"
         all_metrics = []
         for i in range(n_iters):
             batch = {
@@ -227,6 +280,7 @@ def make_split_round_fn(model, cfg: TrainConfig):
                 "label": batches["label"][i],
             }
             rng, k = jax.random.split(rng)
+            t0 = time.perf_counter() if timing else 0.0
             p1_out = part1(params, stats, k, batch["image"], cid_arr)
             # fetch part1's outputs FIRST (tunneled runtimes serialize
             # transfers with compute, so fetching after dispatching part2a
@@ -235,15 +289,27 @@ def make_split_round_fn(model, cfg: TrainConfig):
             probs_h, a1_h, a2_h, a3_h = (
                 np.asarray(t, dtype=np.float32) for t in p1_out
             )
+            if timing:
+                t1 = time.perf_counter()
+                _capture_cost("part1", part1, params, stats, k,
+                              batch["image"], cid_arr)
             grads_a, new_stats, loss_a, metrics_a = part2a(
                 params, stats, k, batch, cid_arr
             )
+            if timing:
+                float(np.asarray(loss_a))  # sync (breaks the overlap)
+                t2 = time.perf_counter()
+                _capture_cost("part2a", part2a, params, stats, k, batch,
+                              cid_arr)
             img_np = images_np[i]
             low = img_np if img_np.shape[-1] == 3 else np.repeat(img_np, 3, -1)
             rois = (labels_np[i] == cfg.num_classes).astype(np.float32)
             tree_val, dpn, d1n, d2n, d3n = multi_scale_tree_loss_host(
                 probs_h, low, a1_h, a2_h, a3_h, rois, cfg.tree_loss_weight,
+                recursive=tree_recursive,
             )
+            if timing:
+                t3 = time.perf_counter()
             cot = [
                 jnp.asarray(c, dtype=tdtype) for c in (dpn, d1n, d2n, d3n)
             ]
@@ -254,19 +320,38 @@ def make_split_round_fn(model, cfg: TrainConfig):
             )
             if cfg.fedicra:
                 if i < n_head:
-                    params, stats, opt_state_h, m = part2b_head(
+                    part2b, opt_name = part2b_head, "opt_state_h"
+                    params, stats, opt_state_h, m = part2b(
                         params, stats, opt_state_h, *args
                     )
                 else:
-                    params, stats, opt_state_b, m = part2b_body(
+                    part2b, opt_name = part2b_body, "opt_state_b"
+                    params, stats, opt_state_b, m = part2b(
                         params, stats, opt_state_b, *args
                     )
             else:
-                params, stats, opt_state_f, m = part2b_full(
+                part2b = part2b_full
+                params, stats, opt_state_f, m = part2b(
                     params, stats, opt_state_f, *args
                 )
             m = dict(m)
             m["lr"] = jnp.float32(lr)
+            if timing:
+                float(np.asarray(m["total_loss"]))  # sync part2b
+                if cfg.fedicra:
+                    opt_for_cost = (
+                        opt_state_h if opt_name == "opt_state_h" else opt_state_b
+                    )
+                else:
+                    opt_for_cost = opt_state_f
+                _capture_cost("part2b", part2b, params, stats, opt_for_cost,
+                              *args)
+                _PHASE_LOG.append({
+                    "part1_fetch": t1 - t0,
+                    "part2a": t2 - t1,
+                    "host_chain": t3 - t2,
+                    "part2b_upload": time.perf_counter() - t3,
+                })
             all_metrics.append(m)
             it += 1
 
@@ -279,6 +364,7 @@ def make_split_round_fn(model, cfg: TrainConfig):
         )
         return new_state, metrics
 
+    round_fn.is_split = True
     return round_fn
 
 
@@ -292,7 +378,9 @@ def build_round_fn(model, cfg: TrainConfig):
     """
     from .trainer import make_round_fn
 
-    if cfg.procedure == "ours" and jax.default_backend() in ("tpu", "axon"):
+    if cfg.procedure in ("ours", "treeenergy_add") and jax.default_backend() in (
+        "tpu", "axon",
+    ):
         try:
             from .. import native
 

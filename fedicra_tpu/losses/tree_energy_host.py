@@ -14,7 +14,8 @@ weight * sum(ROI * |prob - AS_3|) / sum(ROI); |.|' at 0 is 0 (torch parity).
 
 from __future__ import annotations
 
-import zlib
+import hashlib
+import os
 from collections import OrderedDict
 from typing import Tuple
 
@@ -24,20 +25,32 @@ import numpy as np
 # content hash. The reference materializes an epoch of batches once and
 # replays them by index across rounds (quirk #9, ..._Ours.py:71-79), so the
 # guide image — and therefore its MST/rooting, the dominant level cost —
-# repeats exactly. Content-addressed (full-buffer crc32, ~10ms for a 21MB
-# batch) so a hash hit can never reuse a wrong tree silently.
+# repeats exactly. Sized to cover a full epoch of distinct batches (ODOC
+# 889/12=75 @ ~21MB/entry, FAZ 1332/12=111 @ ~9MB/entry — ~1.6GB worst
+# case), else an 8-entry LRU would *never* hit during real training. Keyed
+# by the (h, w) grid (edge topology) + a 128-bit blake2b content digest so
+# a hash hit cannot silently reuse a wrong tree.
 _LOW_TREE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
-_LOW_TREE_CACHE_MAX = 8
+_LOW_TREE_CACHE_MAX = int(os.environ.get("FEDICRA_LOW_TREE_CACHE", "128"))
+_CACHE_STATS = {"hits": 0, "misses": 0}
 
 
-def _low_structure_cached(low_f: np.ndarray, eu, ev, sigma: float):
+def low_tree_cache_stats() -> dict:
+    """Hit/miss counters + occupancy (bench/observability)."""
+    return dict(_CACHE_STATS, size=len(_LOW_TREE_CACHE), max=_LOW_TREE_CACHE_MAX)
+
+
+def _low_structure_cached(low_f: np.ndarray, hw: tuple, eu, ev, sigma: float):
     from .. import native
 
-    key = (low_f.shape, float(sigma), zlib.crc32(low_f.tobytes()))
+    digest = hashlib.blake2b(low_f.tobytes(), digest_size=16).digest()
+    key = (low_f.shape, tuple(hw), float(sigma), digest)
     hit = _LOW_TREE_CACHE.get(key)
     if hit is not None:
+        _CACHE_STATS["hits"] += 1
         _LOW_TREE_CACHE.move_to_end(key)
         return hit
+    _CACHE_STATS["misses"] += 1
     structure = native.tree_low_structure_build(low_f, eu, ev, sigma)
     _LOW_TREE_CACHE[key] = structure
     while len(_LOW_TREE_CACHE) > _LOW_TREE_CACHE_MAX:
@@ -132,12 +145,6 @@ def multi_scale_tree_loss_host(
     aux_in = (aux1, aux2, aux3)
     a_f = [flat(resize_up_host(np.asarray(a, np.float32), h, w)) for a in aux_in]
 
-    if not recursive:
-        raise NotImplementedError(
-            "host path implements the recursive ('Ours') variant; the "
-            "additive variant runs on the device path"
-        )
-
     roi_b = rois.reshape(b, V).astype(np.float32)
     n = float(roi_b.sum())
     scale = weight / (n if n > 0 else 1.0)
@@ -146,7 +153,8 @@ def multi_scale_tree_loss_host(
 
     loss, d_prob, d_a1, d_a2, d_a3 = native.tree_energy_chain_host(
         low_f, prob_f, a_f[0], a_f[1], a_f[2], roi_b, scale, sigma, eu, ev,
-        low_structure=_low_structure_cached(low_f, eu, ev, sigma),
+        low_structure=_low_structure_cached(low_f, (h, w), eu, ev, sigma),
+        recursive=recursive,
     )
     unflat = lambda t, ch: t.reshape(b, h, w, ch)
     d_aux = [
