@@ -86,29 +86,60 @@ class RemoteClientProxy:
         self.round_timeout = round_timeout  # None = wait forever (reference
         # parity: round_timeout=None, ..._Ours.py:405)
         self.state = None  # remote; not introspectable
+        self.dead = False
+        self._seq = 0  # request/reply correlation id
+
+    def _request(self, req: tuple, expected_kind: str) -> tuple:
+        """One request/reply exchange. Any failure — timeout mid-round,
+        partial read, mismatched seq — permanently kills the proxy: a
+        timed-out request leaves the late reply in flight, so reusing the
+        socket would deliver round N's result to round N+1 (silently stale
+        aggregation) and a timeout inside _recv_exact additionally
+        desynchronizes the length-prefixed framing."""
+        if self.dead:
+            raise ConnectionError(
+                f"client {self.cid} proxy is dead (previous round failed)"
+            )
+        self._seq += 1
+        try:
+            self.sock.settimeout(self.round_timeout)
+            send_msg(self.sock, (req[0], self._seq, *req[1:]))
+            reply = recv_msg(self.sock)
+        except Exception:
+            self.dead = True
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+            raise
+        kind, seq = reply[0], reply[1]
+        if kind != expected_kind or seq != self._seq:
+            self.dead = True
+            self.sock.close()
+            raise ConnectionError(
+                f"unexpected reply ({kind!r}, seq {seq}) to "
+                f"{req[0]!r} seq {self._seq} from client {self.cid}"
+            )
+        return reply[2:]
 
     def fit(self, ins: FitIns) -> FitRes:
-        self.sock.settimeout(self.round_timeout)
-        send_msg(self.sock, ("fit", _tree_to_numpy(ins.payload), ins.config))
-        kind, payload, num, metrics, dur = recv_msg(self.sock)
-        if kind != "fit_res":
-            raise ConnectionError(f"unexpected reply kind {kind!r} to fit")
+        payload, num, metrics, dur = self._request(
+            ("fit", _tree_to_numpy(ins.payload), ins.config), "fit_res"
+        )
         return FitRes(payload=payload, num_examples=num, metrics=metrics,
                       fit_duration=dur)
 
     def evaluate(self, ins: EvaluateIns) -> EvaluateRes:
-        self.sock.settimeout(self.round_timeout)
-        send_msg(self.sock, ("evaluate", _tree_to_numpy(ins.payload), ins.config))
-        kind, loss, num, metrics = recv_msg(self.sock)
-        if kind != "evaluate_res":
-            raise ConnectionError(
-                f"unexpected reply kind {kind!r} to evaluate"
-            )
+        loss, num, metrics = self._request(
+            ("evaluate", _tree_to_numpy(ins.payload), ins.config),
+            "evaluate_res",
+        )
         return EvaluateRes(loss=loss, num_examples=num, metrics=metrics)
 
     def close(self):
         try:
-            send_msg(self.sock, ("shutdown",))
+            if not self.dead:
+                send_msg(self.sock, ("shutdown", 0))
         except Exception:
             pass
         self.sock.close()
@@ -156,12 +187,13 @@ def serve_client(client, host: str, port: int, retries: int = 60) -> None:
         if msg[0] == "shutdown":
             break
         if msg[0] == "fit":
-            _, payload, config = msg
+            _, seq, payload, config = msg
             res = client.fit(FitIns(payload, config))
             send_msg(
                 sock,
                 (
                     "fit_res",
+                    seq,
                     _tree_to_numpy(res.payload),
                     res.num_examples,
                     res.metrics,
@@ -169,9 +201,10 @@ def serve_client(client, host: str, port: int, retries: int = 60) -> None:
                 ),
             )
         elif msg[0] == "evaluate":
-            _, payload, config = msg
+            _, seq, payload, config = msg
             res = client.evaluate(EvaluateIns(payload, config))
             send_msg(
-                sock, ("evaluate_res", res.loss, res.num_examples, res.metrics)
+                sock,
+                ("evaluate_res", seq, res.loss, res.num_examples, res.metrics),
             )
     sock.close()

@@ -128,6 +128,37 @@ def test_round_timeout_on_hung_client():
         )
 
 
+def test_timed_out_proxy_never_consumes_stale_reply():
+    """After a round_timeout fires mid-fit, the late reply must not be
+    delivered to the NEXT round (previously the socket was reused and every
+    subsequent round silently aggregated one-round-stale results). The proxy
+    is dead: later calls fail fast instead of desynchronizing."""
+
+    class _SlowThenFastClient(_FlakyClient):
+        def fit(self, ins):
+            self.fit_calls += 1
+            if self.fit_calls == 1:
+                time.sleep(1.5)  # exceeds the round timeout; reply arrives late
+            payload = {
+                "params": {"w": np.asarray(ins.payload["params"]["w"]) + 1.0},
+                "batch_stats": {},
+            }
+            return FitRes(payload=payload, num_examples=2,
+                          metrics={}, fit_duration=0.01)
+
+    port = _free_port()
+    _spawn([_SlowThenFastClient(0)], port)
+    (proxy,) = accept_clients("127.0.0.1", port, 1, timeout=30)
+    proxy.round_timeout = 0.3
+    ins = FitIns({"params": {"w": np.zeros(2, np.float32)}, "batch_stats": {}}, {})
+    with pytest.raises(OSError):
+        proxy.fit(ins)
+    assert proxy.dead
+    time.sleep(1.5)  # the late fit_res for seq 1 is now sitting in flight
+    with pytest.raises(ConnectionError, match="dead"):
+        proxy.fit(ins)  # must NOT return the stale seq-1 result
+
+
 def test_malformed_length_header_rejected():
     a, b = socket.socketpair()
     try:
