@@ -102,4 +102,45 @@ def build_experiment(
         initial_payload=initial_payload,
         snapshot_dir=snapshot_dir,
         writer=MetricsWriter(snapshot_dir),
+        central_eval_fn=make_central_eval_fn(model, cfg, splits),
     )
+
+
+def make_central_eval_fn(model, cfg: TrainConfig, splits):
+    """Server-side central evaluation of the aggregated model — the
+    reference's get_evaluate_fn over the 'client_all' val loader
+    (flower_common.py:139-151), run every eval round by MyServer.fit for
+    CENTRALIZED_FL strategies only (:288-301; PERSONALIZED_FL skips it).
+    Returns None for personalized strategies."""
+    from .strategies import PERSONALIZED_FL
+
+    if cfg.strategy in PERSONALIZED_FL:
+        return None
+    import numpy as np
+
+    from ..evaluation.evaluate import evaluate_client
+
+    # client_all == the union of every domain's val split (dataset.py:98-171)
+    images = np.concatenate([splits[c]["val"].images for c in sorted(splits)])
+    labels = np.concatenate([splits[c]["val"].labels for c in sorted(splits)])
+
+    def central_eval(payload):
+        m = evaluate_client(
+            model,
+            payload["params"],
+            payload["batch_stats"],
+            images,
+            labels,
+            cfg.num_classes,
+            emb_idx=0,
+        )
+        out = {}
+        for k, v in m.items():
+            if k.startswith("mean_"):
+                out[f"val_mean_{k[5:]}"] = v
+            else:  # classN_metric
+                cls, name = k.split("_", 1)
+                out[f"val_{cls[5:]}_{name}"] = v
+        return out
+
+    return central_eval

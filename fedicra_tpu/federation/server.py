@@ -46,11 +46,17 @@ class FederatedServer:
         initial_payload,
         snapshot_dir: Optional[str] = None,
         writer: Optional[MetricsWriter] = None,
+        central_eval_fn=None,
     ):
         self.cfg = cfg
         self.clients = clients
         self.strategy = strategy
         self.global_payload = initial_payload
+        # Server-side evaluation of the AGGREGATED model on a client_all val
+        # split, run every eval round for non-personalized strategies — the
+        # reference's get_evaluate_fn (flower_common.py:139-151) called from
+        # MyServer.fit (:288-301). Signature: payload -> Dict[str, float].
+        self.central_eval_fn = central_eval_fn
         self.writer = writer or MetricsWriter(snapshot_dir)
         self.ckpt = CheckpointManager(snapshot_dir) if snapshot_dir else None
         self.best_dice = 0.0
@@ -238,6 +244,23 @@ class FederatedServer:
 
             record = {"round": current_round, **fit_metrics}
             if current_round % self.cfg.eval_iters == 0:
+                if self.central_eval_fn is not None:
+                    try:
+                        central = {
+                            f"central_{k}": v
+                            for k, v in self.central_eval_fn(
+                                self.global_payload
+                            ).items()
+                        }
+                    except Exception as exc:
+                        print(
+                            f"[round {current_round}] central evaluate failed "
+                            f"({type(exc).__name__}: {exc})",
+                            flush=True,
+                        )
+                        central = {}
+                    self.writer.write(current_round, central)
+                    record.update(central)
                 eval_metrics = self.evaluate_round(current_round)
                 if eval_metrics is None:
                     eval_metrics = {}

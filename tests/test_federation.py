@@ -40,6 +40,28 @@ def test_fedavg_two_rounds_runs_and_aggregates():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_central_evaluate_for_centralized_strategies():
+    """CENTRALIZED_FL strategies evaluate the AGGREGATED model server-side
+    on the client_all val union every eval round (get_evaluate_fn,
+    flower_common.py:139-151, called at :288-301); PERSONALIZED_FL (FedICRA)
+    must skip it — the reference guards on `strategy not in PERSONALIZED_FL`."""
+    cfg = _tiny_cfg(strategy="FedAvg", procedure="pce", model="unet_lc_multihead")
+    server = build_experiment(cfg, limit_per_client=4)
+    assert server.central_eval_fn is not None
+    history = server.run(num_rounds=4, progress=False)
+    evald = [h for h in history if "central_val_mean_dice" in h]
+    assert evald, history
+    for h in evald:
+        # full central metric surface: per-class + mean, same names as the
+        # per-client eval, under the central_ prefix
+        assert "central_val_1_dice" in h and "central_val_mean_hd95" in h
+        assert np.isfinite(h["central_val_mean_dice"])
+
+    cfg_p = _tiny_cfg(strategy="FedICRA", procedure="pce")
+    server_p = build_experiment(cfg_p, limit_per_client=4)
+    assert server_p.central_eval_fn is None
+
+
 def test_fedicra_round_with_ala_skip_then_train():
     cfg = _tiny_cfg(strategy="FedICRA", procedure="pce", iters=2, rep_iters=1)
     server = build_experiment(cfg, limit_per_client=4)
