@@ -257,10 +257,13 @@ def tree_energy_chain_host(
     eu: np.ndarray,
     ev: np.ndarray,
     low_structure=None,
+    recursive: bool = True,
 ):
-    """Single-call recursive tree-energy chain: returns
+    """Single-call multi-scale tree-energy chain: returns
     (loss_scalar, d_prob, d_a1, d_a2, d_a3). ``scale`` = weight/max(N,1).
-    ``low_structure``: optional (parent, order, w) from
+    ``recursive``: True = the 'Ours' chained variant
+    (flower_common.py:756-818); False = the MScaleAdd fan-out variant
+    (:692-753). ``low_structure``: optional (parent, order, w) from
     tree_low_structure_build to skip the low level's MST."""
     lib = _get_lib()
     if lib is None:
@@ -292,6 +295,7 @@ def tree_energy_chain_host(
         + [ctypes.POINTER(ctypes.c_float)] * 5
         + [ctypes.POINTER(ctypes.c_int)] * 2
         + [ctypes.POINTER(ctypes.c_float)]
+        + [ctypes.c_int]
     )
     if low_structure is not None:
         parent, order, w = low_structure
@@ -306,6 +310,6 @@ def tree_energy_chain_host(
         ctypes.c_float(scale), ctypes.c_float(sigma), ip(eu), ip(ev),
         E, B, V, D, C,
         fp(loss), fp(d_prob), fp(d_a1), fp(d_a2), fp(d_a3),
-        lp, lo, lw,
+        lp, lo, lw, int(bool(recursive)),
     )
     return float(loss.sum()), d_prob, d_a1, d_a2, d_a3

@@ -473,7 +473,7 @@ void chain_one(const float* low, const float* prob, const float* a1,
                int V, int D, int C, float* loss_out, float* d_prob,
                float* d_a1, float* d_a2, float* d_a3,
                const int* low_parent = nullptr, const int* low_order = nullptr,
-               const float* low_w = nullptr) {
+               const float* low_w = nullptr, int recursive = 1) {
   const float* auxs[3] = {a1, a2, a3};
   float* d_auxs[3] = {d_a1, d_a2, d_a3};
 
@@ -493,39 +493,62 @@ void chain_one(const float* low, const float* prob, const float* a1,
   std::vector<float> AS;
   level_forward(Llow, prob, V, C, AS);
 
+  // Recursive ('Ours', flower_common.py:756-818): AS -> F_h1 -> F_h2 -> F_h3,
+  // loss on the final output only. Additive (MScaleAdd, :692-753): each high
+  // tree filters AS independently; the three ROI-L1 losses are summed.
   LevelState Lh[3];
   std::vector<float> chain[4];
   chain[0] = AS;
   for (int k = 0; k < 3; ++k) {
     build_level(auxs[k], C, eu, ev, E, V, 1.f, Lh[k]);
-    level_forward(Lh[k], chain[k].data(), V, C, chain[k + 1]);
+    const float* src = recursive ? chain[k].data() : AS.data();
+    level_forward(Lh[k], src, V, C, chain[k + 1]);
   }
-  const std::vector<float>& AS3 = chain[3];
 
   float loss = 0.f;
-  std::vector<float> g((size_t)V * C);
-  for (int v = 0; v < V; ++v) {
-    float r = roi[v];
-    for (int c = 0; c < C; ++c) {
-      float diff = prob[(size_t)v * C + c] - AS3[(size_t)v * C + c];
-      loss += r * std::fabs(diff);
-      float sg = (diff > 0.f) - (diff < 0.f);
-      d_prob[(size_t)v * C + c] = scale * r * sg;  // direct term
-      g[(size_t)v * C + c] = -scale * r * sg;      // d/dAS3
+  std::vector<float> g((size_t)V * C, 0.f);       // recursive: d/dAS3
+  std::vector<float> gk[3];                       // additive: d/dAS_k
+  std::fill(d_prob, d_prob + (size_t)V * C, 0.f);
+  for (int k0 = (recursive ? 3 : 1); k0 <= 3; ++k0) {
+    const std::vector<float>& ASk = chain[k0];
+    std::vector<float>* gt = recursive ? &g : &gk[k0 - 1];
+    if (!recursive) gt->assign((size_t)V * C, 0.f);
+    for (int v = 0; v < V; ++v) {
+      float r = roi[v];
+      for (int c = 0; c < C; ++c) {
+        float diff = prob[(size_t)v * C + c] - ASk[(size_t)v * C + c];
+        loss += r * std::fabs(diff);
+        float sg = (diff > 0.f) - (diff < 0.f);
+        d_prob[(size_t)v * C + c] += scale * r * sg;  // direct term
+        (*gt)[(size_t)v * C + c] = -scale * r * sg;   // d/dAS_k
+      }
     }
   }
   *loss_out = scale * loss;
 
-  // backward chain through the high levels
-  for (int k = 2; k >= 0; --k) {
-    std::vector<float> dx;
-    level_backward(Lh[k], chain[k].data(), chain[k + 1].data(), g.data(),
-                   auxs[k], C, V, C, 1.f, dx, d_auxs[k]);
-    g.swap(dx);
+  std::vector<float> g_AS;
+  if (recursive) {
+    // backward chain through the high levels
+    for (int k = 2; k >= 0; --k) {
+      std::vector<float> dx;
+      level_backward(Lh[k], chain[k].data(), chain[k + 1].data(), g.data(),
+                     auxs[k], C, V, C, 1.f, dx, d_auxs[k]);
+      g.swap(dx);
+    }
+    g_AS.swap(g);
+  } else {
+    // fan-out: each level backpropagates its own cotangent to AS; sum
+    g_AS.assign((size_t)V * C, 0.f);
+    for (int k = 0; k < 3; ++k) {
+      std::vector<float> dx;
+      level_backward(Lh[k], AS.data(), chain[k + 1].data(), gk[k].data(),
+                     auxs[k], C, V, C, 1.f, dx, d_auxs[k]);
+      for (size_t i = 0; i < (size_t)V * C; ++i) g_AS[i] += dx[i];
+    }
   }
   // low level: gradient to prob only
   std::vector<float> dxp;
-  level_backward(Llow, prob, AS.data(), g.data(), nullptr, D, V, C,
+  level_backward(Llow, prob, AS.data(), g_AS.data(), nullptr, D, V, C,
                  1.f / sigma, dxp, nullptr);
   for (size_t i = 0; i < (size_t)V * C; ++i) d_prob[i] += dxp[i];
 }
@@ -534,15 +557,17 @@ void chain_one(const float* low, const float* prob, const float* a1,
 
 extern "C" {
 
-// Full recursive tree-energy chain, batched. scale = weight / max(N,1)
+// Full multi-scale tree-energy chain, batched. scale = weight / max(N,1)
 // precomputed by the caller over the whole batch. Outputs are zero-filled
-// by the caller. loss_out: [B] per-image (sum host-side).
+// by the caller. loss_out: [B] per-image (sum host-side). recursive=1:
+// 'Ours' chained variant; 0: MScaleAdd fan-out variant.
 void tree_energy_chain_host(const float* low, const float* prob,
                             const float* a1, const float* a2, const float* a3,
                             const float* roi, float scale, float sigma,
                             const int* eu, const int* ev, int E, int B, int V,
                             int D, int C, float* loss_out, float* d_prob,
-                            float* d_a1, float* d_a2, float* d_a3) {
+                            float* d_a1, float* d_a2, float* d_a3,
+                            int recursive) {
   std::vector<std::thread> threads;
   threads.reserve(B);
   for (int b = 0; b < B; ++b) {
@@ -552,7 +577,7 @@ void tree_energy_chain_host(const float* low, const float* prob,
     threads.emplace_back(chain_one, low + od, prob + oc, a1 + oc, a2 + oc,
                          a3 + oc, roi + ov, scale, sigma, eu, ev, E, V, D, C,
                          loss_out + b, d_prob + oc, d_a1 + oc, d_a2 + oc,
-                         d_a3 + oc, nullptr, nullptr, nullptr);
+                         d_a3 + oc, nullptr, nullptr, nullptr, recursive);
   }
   for (auto& t : threads) t.join();
 }
@@ -586,7 +611,8 @@ void tree_energy_chain_host_cached(
     const float* a3, const float* roi, float scale, float sigma, const int* eu,
     const int* ev, int E, int B, int V, int D, int C, float* loss_out,
     float* d_prob, float* d_a1, float* d_a2, float* d_a3,
-    const int* low_parent, const int* low_order, const float* low_w) {
+    const int* low_parent, const int* low_order, const float* low_w,
+    int recursive) {
   std::vector<std::thread> threads;
   threads.reserve(B);
   for (int b = 0; b < B; ++b) {
@@ -599,7 +625,7 @@ void tree_energy_chain_host_cached(
         d_a1 + oc, d_a2 + oc, d_a3 + oc,
         low_parent ? low_parent + ov : nullptr,
         low_order ? low_order + ov : nullptr,
-        low_w ? low_w + ov : nullptr);
+        low_w ? low_w + ov : nullptr, recursive);
   }
   for (auto& t : threads) t.join();
 }

@@ -51,6 +51,42 @@ def test_host_filter_matches_jax_path_values_and_grads():
                                    atol=2e-4)
 
 
+def test_host_additive_chain_matches_jax_path():
+    """The C++ fan-out (MScaleAdd, flower_common.py:692-753) chain must match
+    the device additive path in value and gradients — the split trainer uses
+    it for the treeenergy_add procedure on callback-less runtimes."""
+    from fedicra_tpu.losses.tree_energy_host import multi_scale_tree_loss_host
+
+    logits, image, aux, rois = _inputs(seed=7)
+
+    def f(lg, a1, a2, a3):
+        l, *_ = multi_scale_tree_energy_loss(
+            lg, image, a1, a2, a3, rois, 0.1, recursive=False,
+            host_offload=False,
+        )
+        return l
+
+    v_jax, g_jax = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(logits, *aux)
+
+    prob, softmax_vjp = jax.vjp(
+        lambda lg: jax.nn.softmax(lg, axis=-1), logits
+    )
+    v_host, d_prob, d_a1, d_a2, d_a3 = multi_scale_tree_loss_host(
+        np.asarray(prob), np.asarray(image), *[np.asarray(a) for a in aux],
+        np.asarray(rois), 0.1, recursive=False,
+    )
+    (d_logits,) = softmax_vjp(jnp.asarray(d_prob))
+
+    np.testing.assert_allclose(v_host, float(v_jax), rtol=2e-4, atol=1e-6)
+    # atol covers sign(prob - AS_k) flips on near-zero L1 residuals: fp32
+    # order differences make isolated elements cross zero differently, each
+    # worth ~scale = weight/N (~1.4e-3 here); all other elements match to 2e-4
+    for got, want in zip((d_logits, d_a1, d_a2, d_a3), g_jax):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-3, atol=8e-4
+        )
+
+
 def test_host_resize_matches_jax_linear():
     """resize_up_host must reproduce jax.image.resize(method='linear')
     exactly — the device model's aux upsampling — for the odd shape ratios
