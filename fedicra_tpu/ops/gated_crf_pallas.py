@@ -55,34 +55,48 @@ def _load_padded(dst_ref, src_ref, n_ch, r, h, w):
         dst_ref[c, r : r + h, r : r + w] = src_ref[0, c]
 
 
-def _kernel_at(fp_ref, n_f, dy, dx, r, h, w):
-    ksum = jnp.zeros((h, w), jnp.float32)
-    for f in range(n_f):
-        d = (
-            fp_ref[f, r + dy : r + dy + h, r + dx : r + dx + w]
-            - fp_ref[f, r : r + h, r : r + w]
-        )
-        ksum = ksum + d * d
-    return jnp.exp(-0.5 * ksum)
+def _shifted(planes, dy, dx, r, h, w):
+    """Window [r+dy : r+dy+h, r+dx : r+dx+w] of padded (n, H+2r, W+2r)
+    planes, for TRACED dy/dx: Mosaic forbids dynamic sublane/lane slice
+    starts, but dynamic *rotations* (pltpu.roll) are supported — roll the
+    pad into place, then take the static window. Wrapped rows/cols land in
+    the discarded pad region for any |shift| <= r."""
+    rolled = pltpu.roll(pltpu.roll(planes, -dy, axis=1), -dx, axis=2)
+    return rolled[:, r : r + h, r : r + w]
+
+
+def _offset_of(o, radius):
+    """Flat offset index 0..d^2-1 -> (dy, dx, live) with the center masked."""
+    d = 2 * radius + 1
+    dy = o // d - radius
+    dx = o % d - radius
+    live = jnp.logical_or(dy != 0, dx != 0).astype(jnp.float32)
+    return dy, dx, live
 
 
 def _fwd_kernel(y_ref, f_ref, out_ref, yp_ref, fp_ref, *, radius, h, w):
     r = radius
     n_c = y_ref.shape[1]
-    n_f = f_ref.shape[1]
     _load_padded(yp_ref, y_ref, n_c, r, h, w)
-    _load_padded(fp_ref, f_ref, n_f, r, h, w)
+    _load_padded(fp_ref, f_ref, f_ref.shape[1], r, h, w)
 
-    tot = jnp.float32(0.0)
-    for dy, dx in _offsets(radius):
-        k = _kernel_at(fp_ref, n_f, dy, dx, r, h, w)
-        cross = jnp.zeros((h, w), jnp.float32)
-        for c in range(n_c):
-            cross = cross + (
-                yp_ref[c, r + dy : r + dy + h, r + dx : r + dx + w]
-                * yp_ref[c, r : r + h, r : r + w]
-            )
-        tot = tot + jnp.sum(k * (1.0 - cross))
+    fp = fp_ref[:]
+    yp = yp_ref[:]
+    f0 = fp[:, r : r + h, r : r + w]
+    y0 = yp[:, r : r + h, r : r + w]
+
+    # one fori_loop body instead of 120 unrolled offset bodies: the unrolled
+    # variant exceeded 30 min in the remote Mosaic compiler (round 2); this
+    # compiles ~d^2 x faster and runs the same VPU math per offset
+    def body(o, tot):
+        dy, dx, live = _offset_of(o, radius)
+        fs = _shifted(fp, dy, dx, r, h, w)
+        k = jnp.exp(-0.5 * jnp.sum((fs - f0) ** 2, axis=0))
+        cross = jnp.sum(_shifted(yp, dy, dx, r, h, w) * y0, axis=0)
+        return tot + live * jnp.sum(k * (1.0 - cross))
+
+    d = 2 * radius + 1
+    tot = jax.lax.fori_loop(0, d * d, body, jnp.float32(0.0))
 
     # full-array SMEM output block (per-program (1,1) blocks violate the TPU
     # tiling rule); the grid is sequential so per-row writes don't race
@@ -92,19 +106,24 @@ def _fwd_kernel(y_ref, f_ref, out_ref, yp_ref, fp_ref, *, radius, h, w):
 def _bwd_kernel(y_ref, f_ref, out_ref, yp_ref, fp_ref, *, radius, h, w):
     r = radius
     n_c = y_ref.shape[1]
-    n_f = f_ref.shape[1]
     _load_padded(yp_ref, y_ref, n_c, r, h, w)
-    _load_padded(fp_ref, f_ref, n_f, r, h, w)
+    _load_padded(fp_ref, f_ref, f_ref.shape[1], r, h, w)
 
-    acc = [jnp.zeros((h, w), jnp.float32) for _ in range(n_c)]
-    for dy, dx in _offsets(radius):
-        k = _kernel_at(fp_ref, n_f, dy, dx, r, h, w)
-        for c in range(n_c):
-            acc[c] = acc[c] + k * yp_ref[
-                c, r + dy : r + dy + h, r + dx : r + dx + w
-            ]
-    for c in range(n_c):
-        out_ref[0, c] = acc[c]
+    fp = fp_ref[:]
+    yp = yp_ref[:]
+    f0 = fp[:, r : r + h, r : r + w]
+
+    def body(o, acc):
+        dy, dx, live = _offset_of(o, radius)
+        fs = _shifted(fp, dy, dx, r, h, w)
+        k = jnp.exp(-0.5 * jnp.sum((fs - f0) ** 2, axis=0))
+        return acc + (live * k)[None] * _shifted(yp, dy, dx, r, h, w)
+
+    d = 2 * radius + 1
+    acc = jax.lax.fori_loop(
+        0, d * d, body, jnp.zeros((n_c, h, w), jnp.float32)
+    )
+    out_ref[0] = acc
 
 
 def _run(kernel, y, feats, out_shape, radius):
