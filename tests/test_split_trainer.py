@@ -168,3 +168,48 @@ def test_split_gradients_match_monolithic():
             np.asarray(fb[key]), np.asarray(fa[key]), rtol=2e-3, atol=2e-5,
             err_msg=str(key),
         )
+
+
+def test_bf16_transfer_gradient_error_bounded(monkeypatch):
+    """ADVICE r2: the split trainer defaults to bf16 device<->host transfers
+    on accelerators (PARITY.md). Bound the gradient error that transfer
+    precision introduces: the tree-term cotangents computed from
+    bf16-roundtripped inputs, themselves bf16-roundtripped (exactly the
+    split-step protocol), must stay within ~1% relative L2 of the fp32
+    chain, and the loss value within 1e-3 relative."""
+    from fedicra_tpu.losses.tree_energy_host import multi_scale_tree_loss_host
+
+    rng = np.random.default_rng(3)
+    B, H, W, C = 2, 16, 16, 3
+    logits = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    prob = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
+    low = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    aux = [rng.normal(size=(B, H // s, W // s, C)).astype(np.float32)
+           for s in (4, 2, 1)]
+    rois = rng.integers(0, 2, size=(B, H, W)).astype(np.float32)
+
+    v32, *g32 = multi_scale_tree_loss_host(prob, low, *aux, rois, 0.1)
+
+    bf = lambda t: np.asarray(jnp.asarray(t, jnp.bfloat16), np.float32)
+    v16, *g16 = multi_scale_tree_loss_host(
+        bf(prob), low, *(bf(a) for a in aux), rois, 0.1
+    )
+    g16 = [bf(g) for g in g16]  # the cotangent upload is bf16 too
+
+    assert abs(v16 - v32) / max(abs(v32), 1e-8) < 1e-3, (v16, v32)
+    # The cotangents are L1 subgradients: +-scale signs of the residual
+    # prob - AS (scale = weight/N). bf16 rounding flips the sign exactly
+    # where |residual| is below bf16 resolution — where BOTH signs are valid
+    # subgradients — so the right bound is: every element within ~2*scale
+    # (one sign flip), flips rare, and the smooth part tight.
+    scale = 0.1 / float(rois.sum())
+    for a, b in zip(g16, g32):
+        err = np.abs(a - b)
+        assert float(err.max()) < 2.5 * scale, (float(err.max()), scale)
+        flipped = float((err > 0.5 * scale).mean())
+        assert flipped < 0.10, flipped  # sign flips are the rare exception
+        smooth = err[err <= 0.5 * scale]
+        if smooth.size:
+            # non-flipped part: bf16's ~2^-8 relative resolution through the
+            # filter chain
+            assert float(smooth.max()) < 0.1 * scale + 1e-7
