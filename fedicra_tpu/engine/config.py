@@ -91,6 +91,11 @@ class TrainConfig:
     gatecrf_weight: float = 0.1  # fixed at 0.1 in the reference (…_Ours.py:151)
     gatecrf_radius: int = 5
     amp: bool = False  # bf16 compute
+    # ALA activation horizon: rounds with iter_global <= this adopt the
+    # global weights wholesale (reference hardcodes 50,
+    # flower_common.py:524-526); configurable so short oracle/test runs can
+    # exercise the ALA era
+    ala_skip_iters: int = 50
     seed: int = 2022
     # path to an efficientnet-pytorch B3 .pth for the efficient_unet encoder
     # (the reference always loads encoder_weights='imagenet',

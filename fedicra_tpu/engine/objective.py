@@ -129,16 +129,23 @@ def ours_loss(
     if images.shape[-1] == 1:
         three_channel = jnp.repeat(images, 3, axis=-1)
     aux1, aux2, aux3 = out["aux"]
-    loss_tree, _, _, _ = multi_scale_tree_energy_loss(
-        logits,
-        three_channel,
-        aux1,
-        aux2,
-        aux3,
-        unlabeled_rois,
-        cfg.tree_loss_weight,
-        recursive=True,
-    )
+    if cfg.tree_loss_weight == 0.0:
+        # ablation / oracle configs: skip the tree computation entirely (the
+        # weighted term and its gradients are identically zero). Grads for
+        # the aux heads stay exact zeros, so masked-AdamW semantics —
+        # including decoupled weight decay on the heads — are unchanged.
+        loss_tree = jnp.float32(0.0)
+    else:
+        loss_tree, _, _, _ = multi_scale_tree_energy_loss(
+            logits,
+            three_channel,
+            aux1,
+            aux2,
+            aux3,
+            unlabeled_rois,
+            cfg.tree_loss_weight,
+            recursive=True,
+        )
 
     loss_crf = gated_crf_loss_auto(probs, images, radius=cfg.gatecrf_radius)
 

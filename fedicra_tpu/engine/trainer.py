@@ -111,10 +111,13 @@ def make_round_fn(model, cfg: TrainConfig):
             if is_pcs_path(p):
                 return False
             # torch AdamW skips parameters whose grad is None; under the
-            # pCE-only objective the DSN aux heads receive no gradient, so
-            # excluding them here reproduces "no update, no weight decay"
-            if cfg.procedure == "pce" and any(
-                s.startswith("dsn_head") for s in p
+            # pCE-only objective — and under 'ours' with the tree term
+            # ablated to weight 0 (oracle configs) — the DSN aux heads
+            # receive no gradient, so excluding them here reproduces
+            # "no update, no weight decay"
+            if any(s.startswith("dsn_head") for s in p) and (
+                cfg.procedure == "pce"
+                or (cfg.procedure == "ours" and cfg.tree_loss_weight == 0.0)
             ):
                 return False
             return True

@@ -167,7 +167,8 @@ def ala_set_weights(
     # kernel, which always trains); our pytree's first leaf can be a
     # gradient-free one, so compare the whole tree to carry the same intent.
     identical = float(_tree_abs_diff(global_params, local_params)) == 0.0
-    if identical or iter_global <= ALA_SKIP_ITERS:
+    skip_iters = getattr(cfg, "ala_skip_iters", ALA_SKIP_ITERS)
+    if identical or iter_global <= skip_iters:
         return global_params, global_stats, start_phase
 
     local_g, _ = _split_gated(local_params)

@@ -107,10 +107,11 @@ def make_sharded_round_fn(model, cfg: TrainConfig, mesh):
                     iter_global, cid):
         gp, gs = global_payload["params"], global_payload["batch_stats"]
         if cfg.fedicra and ala_batches is not None:
+            skip_iters = getattr(cfg, "ala_skip_iters", ALA_SKIP_ITERS)
             # first ALA run <=> the first round past the skip horizon
             # (rounds advance by cfg.iters; see module docstring)
-            first_run = (iter_global > ALA_SKIP_ITERS) & (
-                iter_global - cfg.iters <= ALA_SKIP_ITERS
+            first_run = (iter_global > skip_iters) & (
+                iter_global - cfg.iters <= skip_iters
             )
 
             def do_ala(operand):
@@ -124,7 +125,7 @@ def make_sharded_round_fn(model, cfg: TrainConfig, mesh):
 
             rng, k_ala = jax.random.split(state.rng)
             params = jax.lax.cond(
-                iter_global > ALA_SKIP_ITERS, do_ala, skip,
+                iter_global > skip_iters, do_ala, skip,
                 (state.params, k_ala),
             )
             state = state._replace(params=params, batch_stats=gs, rng=rng)

@@ -73,27 +73,33 @@ def net_factory(
     if net_type == "unet_multihead":
         return UNetMultiHead(in_chns=in_chns, num_classes=class_num)
     if net_type == "unet_lc":
+        kw = dict(dropout=tuple(dropout)) if dropout is not None else {}
         return UNetLC(
             in_chns=in_chns,
             num_classes=class_num,
             num_clients=num_clients,
             client_id=client_id,
             pcs_num=pcs_num,
+            **kw,
         )
     if net_type == "unet_lc_multihead":
+        kw = dict(dropout=tuple(dropout)) if dropout is not None else {}
         return UNetLCMultiHead(
             in_chns=in_chns,
             num_classes=class_num,
             num_clients=num_clients,
             client_id=client_id,
             pcs_num=pcs_num,
+            **kw,
         )
     if net_type == "unet_lc_multihead_two":
+        kw = dict(dropout=tuple(dropout)) if dropout is not None else {}
         return UNetLCMultiHeadTwo(
             in_chns=in_chns,
             num_classes=class_num,
             num_clients=num_clients,
             client_id=client_id,
             pcs_num=pcs_num,
+            **kw,
         )
     raise ValueError(f"unknown net_type {net_type!r}; expected one of {MODEL_TYPES}")

@@ -394,6 +394,7 @@ class UNetLC(nn.Module):
     num_clients: int
     client_id: int = 0
     pcs_num: int = 1
+    dropout: Sequence[float] = DEFAULT_DROPOUT
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False, emb_idx=None):
@@ -401,6 +402,7 @@ class UNetLC(nn.Module):
             num_clients=self.num_clients,
             client_id=self.client_id,
             pcs_num=self.pcs_num,
+            dropout=self.dropout,
             name="encoder",
         )(x, train=train, emb_idx=emb_idx)
         out = DecoderMultiHead(self.num_classes, num_heads=1, name="decoder")(
@@ -419,6 +421,7 @@ class UNetLCMultiHead(nn.Module):
     num_clients: int
     client_id: int = 0
     pcs_num: int = 1
+    dropout: Sequence[float] = DEFAULT_DROPOUT
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False, emb_idx=None):
@@ -426,6 +429,7 @@ class UNetLCMultiHead(nn.Module):
             num_clients=self.num_clients,
             client_id=self.client_id,
             pcs_num=self.pcs_num,
+            dropout=self.dropout,
             name="encoder",
         )(x, train=train, emb_idx=emb_idx)
         out = DecoderMultiHead(self.num_classes, num_heads=3, name="decoder")(
@@ -444,6 +448,7 @@ class UNetLCMultiHeadTwo(nn.Module):
     num_clients: int
     client_id: int = 0
     pcs_num: int = 1
+    dropout: Sequence[float] = DEFAULT_DROPOUT
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False, emb_idx=None):
@@ -451,6 +456,7 @@ class UNetLCMultiHeadTwo(nn.Module):
             num_clients=self.num_clients,
             client_id=self.client_id,
             pcs_num=self.pcs_num,
+            dropout=self.dropout,
             name="encoder",
         )(x, train=train, emb_idx=emb_idx)
         out = DecoderMultiHead(self.num_classes, num_heads=2, name="decoder")(

@@ -34,6 +34,164 @@ CONFIG = dict(
 _HERE = os.path.dirname(os.path.abspath(__file__))
 GOLDEN_PATH = os.path.join(_HERE, "reference_trajectory.json")
 
+# FedICRA-specific trajectory (VERDICT r2 missing #2): the flagship machinery
+# — PCS contrast, head/body alternation, ALA gate learning — mirrored in
+# torch with the tree term ablated (weight 0; CPU-runnable without the CUDA
+# tree kernels). ala_skip_iters lowered so the ALA era activates inside a
+# short trajectory (the reference hardcodes 50, flower_common.py:524).
+FEDICRA_CONFIG = dict(
+    img_size=32,
+    batch_size=2,
+    in_chns=3,
+    num_classes=3,
+    num_clients=3,
+    rounds=8,
+    iters=5,
+    rep_iters=2,
+    base_lr=0.01,
+    max_iterations=1000,
+    alpha=1.0,
+    gatecrf_weight=0.1,
+    gatecrf_radius=5,
+    ala_skip_iters=10,
+    ala_num_batches=2,
+    seed=2022,
+    data_seed=77,
+)
+
+
+def make_fedicra_batches(cfg=FEDICRA_CONFIG):
+    rng = np.random.default_rng(cfg["data_seed"])
+    K, R, I = cfg["num_clients"], cfg["rounds"], cfg["iters"]
+    B, H, C = cfg["batch_size"], cfg["img_size"], cfg["in_chns"]
+    train, ala = [], []
+    for _ in range(K):
+        train.append({
+            "image": rng.uniform(size=(R, I, B, H, H, C)).astype(np.float32),
+            "label": rng.integers(
+                0, cfg["num_classes"] + 1, size=(R, I, B, H, H)
+            ).astype(np.int32),
+        })
+        nb = cfg["ala_num_batches"]
+        ala.append({
+            "image": rng.uniform(size=(nb, B, H, H, C)).astype(np.float32),
+            "label": rng.integers(
+                0, cfg["num_classes"] + 1, size=(nb, B, H, H)
+            ).astype(np.int32),
+        })
+    return train, ala
+
+
+def make_jax_fedicra_model_and_state(cfg=FEDICRA_CONFIG):
+    import jax
+
+    jax.config.update("jax_threefry_partitionable", False)
+
+    from fedicra_tpu.engine import TrainConfig, init_client_state
+    from fedicra_tpu.models import net_factory
+
+    tc = TrainConfig.for_task(
+        "odoc",
+        img_size=cfg["img_size"],
+        batch_size=cfg["batch_size"],
+        iters=cfg["iters"],
+        rep_iters=cfg["rep_iters"],
+        max_iterations=cfg["max_iterations"],
+        base_lr=cfg["base_lr"],
+        strategy="FedICRA",
+        procedure="ours",
+        model="unet_lc_multihead",
+    ).replace(
+        num_clients=cfg["num_clients"],
+        seed=cfg["seed"],
+        tree_loss_weight=0.0,
+        alpha=cfg["alpha"],
+        gatecrf_weight=cfg["gatecrf_weight"],
+        gatecrf_radius=cfg["gatecrf_radius"],
+        ala_skip_iters=cfg["ala_skip_iters"],
+    )
+    model = net_factory(
+        "unet_lc_multihead",
+        in_chns=cfg["in_chns"],
+        class_num=cfg["num_classes"],
+        num_clients=cfg["num_clients"],
+        client_id=0,
+        dropout=(0.0,) * 5,
+    )
+    state = init_client_state(model, tc)
+    return model, tc, state
+
+
+def _mirrored_param_abssum(params):
+    """abs-sum over the params the torch mirror registers (everything except
+    the frozen PCS projections and the DSN aux heads)."""
+    from flax import traverse_util
+
+    from fedicra_tpu.models.params_filters import is_pcs_path
+
+    tot = 0.0
+    for path, leaf in traverse_util.flatten_dict(params).items():
+        if is_pcs_path(path) or any(s.startswith("dsn_head") for s in path):
+            continue
+        tot += float(np.abs(np.asarray(leaf)).sum())
+    return tot
+
+
+def run_jax_fedicra_ours(model, tc, state, client_batches, ala_batches,
+                         cfg=FEDICRA_CONFIG):
+    """The JAX side of the FedICRA oracle: per-round ALA merge
+    (federation/ala.py) + the monolithic 'ours' round (head/body phases,
+    contrast, CRF; tree weight 0) + equal-weight FedAvg of params and BN
+    stats — the in-process counterpart of the torch loop above it."""
+    import jax
+    import jax.numpy as jnp
+
+    from fedicra_tpu.engine.trainer import ClientState, make_round_fn
+    from fedicra_tpu.federation.ala import ala_set_weights, make_ala_epoch_fn
+    from fedicra_tpu.federation.strategies import weighted_tree_mean
+
+    round_fn = jax.jit(make_round_fn(model, tc))
+    ala_fn = make_ala_epoch_fn(model, tc)
+    K = cfg["num_clients"]
+    global_p, global_s = state.params, state.batch_stats
+    local_params = [state.params for _ in range(K)]
+    start_phase = [True] * K
+    losses = [[] for _ in range(K)]
+    rng = jax.random.PRNGKey(cfg["seed"])
+    it = 0
+    for r in range(cfg["rounds"]):
+        new_ps, new_ss = [], []
+        for cid in range(K):
+            rng, k_ala, k_round = jax.random.split(rng, 3)
+            ala_arrays = {
+                "image": jnp.asarray(ala_batches[cid]["image"]),
+                "label": jnp.asarray(ala_batches[cid]["label"]),
+            }
+            params, stats, start_phase[cid] = ala_set_weights(
+                model, tc, ala_fn,
+                local_params[cid], global_p, global_s,
+                lambda _e, a=ala_arrays: a,
+                k_ala, cid, it + cfg["iters"], start_phase[cid],
+            )
+            st = ClientState(
+                params=params, batch_stats=stats,
+                current_iter=jnp.asarray(it, jnp.int32), rng=k_round,
+            )
+            b = {
+                "image": jnp.asarray(client_batches[cid]["image"][r]),
+                "label": jnp.asarray(client_batches[cid]["label"][r]),
+            }
+            st2, metrics = round_fn(st, b, jnp.asarray(cid, jnp.int32))
+            losses[cid].extend(np.asarray(metrics["total_loss"]).tolist())
+            local_params[cid] = st2.params
+            new_ps.append(st2.params)
+            new_ss.append(st2.batch_stats)
+        w = [1.0] * K
+        global_p = weighted_tree_mean(new_ps, w)
+        global_s = weighted_tree_mean(new_ss, w)
+        it += cfg["iters"]
+    return losses, global_p
+
 
 def make_batches(cfg=CONFIG):
     """Seed-fixed injected batches, one [rounds, iters, B,H,W,C] set per client."""
@@ -153,6 +311,10 @@ def run_jax_sgd_centralized(model, tc, batches_flat, iters, cfg=CONFIG):
 def main():
     import jax
 
+    # the golden must be generated on the CPU backend the parity tests use
+    # (the dev-box sitecustomize would otherwise register the tunneled TPU)
+    jax.config.update("jax_platforms", "cpu")
+
     model, tc, state = make_jax_model_and_state()
     batches = make_batches()
 
@@ -205,6 +367,51 @@ def main():
         max_iterations=CONFIG["max_iterations"],
         iters=sgd_iters,
     )
+    # FedICRA ours-minus-tree oracle: PCS contrast + head/body phases + ALA
+    from torch_mirror import TorchFedICRAUNet, run_torch_fedicra_ours
+
+    fmodel, ftc, fstate = make_jax_fedicra_model_and_state()
+    ftrain, fala = make_fedicra_batches()
+    fp_np = jax.tree.map(np.asarray, fstate.params)
+    fs_np = jax.tree.map(np.asarray, fstate.batch_stats)
+
+    # forward-parity gate incl. the PCS heatmap, per client embedding
+    tm_lc = TorchFedICRAUNet(fp_np, fs_np, FEDICRA_CONFIG["num_clients"], 1)
+    x = ftrain[0]["image"][0, 0]
+    out = fmodel.apply(
+        {"params": fstate.params, "batch_stats": fstate.batch_stats},
+        x, train=False, emb_idx=np.ones((x.shape[0],), np.int32),
+    )
+    t_logits, t_hmap = tm_lc.forward(x, emb_idx=1, train=False)
+    lc_fwd_err = float(
+        np.abs(
+            np.asarray(out["logits"])
+            - t_logits.detach().numpy().transpose(0, 2, 3, 1)
+        ).max()
+    )
+    hm_err = float(
+        np.abs(
+            np.asarray(out["heatmaps"][-1]).reshape(x.shape[0], -1)
+            - t_hmap.detach().numpy().reshape(x.shape[0], -1)
+        ).max()
+    )
+    assert lc_fwd_err < 1e-4 and hm_err < 1e-5, (lc_fwd_err, hm_err)
+
+    fed_losses, fed_global = run_torch_fedicra_ours(
+        fp_np, fs_np, ftrain, fala,
+        num_classes=FEDICRA_CONFIG["num_classes"],
+        num_clients=FEDICRA_CONFIG["num_clients"],
+        base_lr=FEDICRA_CONFIG["base_lr"],
+        max_iterations=FEDICRA_CONFIG["max_iterations"],
+        rounds=FEDICRA_CONFIG["rounds"],
+        iters=FEDICRA_CONFIG["iters"],
+        rep_iters=FEDICRA_CONFIG["rep_iters"],
+        alpha=FEDICRA_CONFIG["alpha"],
+        gatecrf_weight=FEDICRA_CONFIG["gatecrf_weight"],
+        radius=FEDICRA_CONFIG["gatecrf_radius"],
+        ala_skip_iters=FEDICRA_CONFIG["ala_skip_iters"],
+    )
+
     golden = {
         "config": CONFIG,
         "forward_parity_max_abs_err": fwd_err,
@@ -212,14 +419,25 @@ def main():
         "final_param_abssum": checksum,
         "sgd_losses": sgd_losses,
         "sgd_final_param_abssum": float(sum(np.abs(p).sum() for p in sgd_final)),
+        "fedicra_config": FEDICRA_CONFIG,
+        "fedicra_forward_parity_max_abs_err": lc_fwd_err,
+        "fedicra_heatmap_parity_max_abs_err": hm_err,
+        "fedicra_losses": fed_losses,
+        "fedicra_final_param_abssum": float(
+            sum(np.abs(p).sum() for p in fed_global)
+        ),
         "generator": "tests/gen_reference_trajectory.py (torch mirror of "
-        "flower_pCE_2D.py:51-181 and Unet_pCE.py:63-244)",
+        "flower_pCE_2D.py:51-181, Unet_pCE.py:63-244, and the FedICRA "
+        "machinery: …_Ours.py:52-206 minus the tree term + "
+        "flower_common.py:491-633 ALA)",
     }
     with open(GOLDEN_PATH, "w") as f:
         json.dump(golden, f, indent=1)
-    print(f"wrote {GOLDEN_PATH}: fwd_err={fwd_err:.2e}")
+    print(f"wrote {GOLDEN_PATH}: fwd_err={fwd_err:.2e} lc_fwd_err={lc_fwd_err:.2e}")
     for cid, ls in enumerate(losses):
         print(f"  client {cid} losses: {[round(l, 4) for l in ls]}")
+    for cid, ls in enumerate(fed_losses):
+        print(f"  fedicra client {cid} losses: {[round(l, 4) for l in ls]}")
 
 
 if __name__ == "__main__":

@@ -187,6 +187,397 @@ def poly_lr(base_lr, it, max_iterations):
     return base_lr * (1.0 - it / max_iterations) ** 0.9
 
 
+class TorchFedICRAUNet:
+    """Torch mirror of the FedICRA flagship model (unet_lc_multihead):
+    LCEncoder with one PCS module at the bottleneck + bilinear decoder +
+    3x3 out conv (reference networks/unet.py:701-722, 103-203).
+
+    The three DSN aux heads are omitted: under the ours-minus-tree oracle
+    objective (tree weight 0) their outputs never enter the loss, their
+    parameters receive no updates on the JAX side (engine/trainer.py
+    excludes them from the optimizer in that configuration, matching torch's
+    None-grad skip), and their BN stats feed nothing — so they cannot affect
+    the mirrored trajectory.
+
+    PCS parameters are held as plain tensors with requires_grad=False:
+    the reference stores PCS modules in an unregistered Python list
+    (unet.py:172-177) so they are absent from parameters()/state_dict() —
+    frozen random projections that gradients flow *through*, never into.
+    """
+
+    def __init__(self, flax_params, flax_stats, num_clients, client_id):
+        self.num_clients = num_clients
+        self.client_id = client_id
+        self.params = []  # trainable tensors, registration order
+        self.names = []  # torch-style dotted names, parallel to params
+        self.tree = self._convert(flax_params)
+        pcs = flax_params["encoder"]["pcs0"]
+        self.pcs = {
+            k: torch.tensor(
+                _np(pcs[k]["conv"]["kernel"]).transpose(3, 2, 0, 1)
+            )
+            for k in ("fc1_a", "fc1_b", "fc2_a", "fc2_b")
+        }
+        self.stats = self._convert_stats(flax_stats)
+
+    # -- conversion (name-threaded) -----------------------------------------
+    def _reg(self, t, name):
+        t = t.clone().detach().requires_grad_(True)
+        self.params.append(t)
+        self.names.append(name)
+        return t
+
+    def _convert_convbnact(self, tree, prefix):
+        k, b = conv_w(tree["conv"])
+        return {
+            "k": self._reg(k, f"{prefix}.conv.weight"),
+            "b": self._reg(b, f"{prefix}.conv.bias"),
+            "scale": self._reg(
+                torch.tensor(_np(tree["norm"]["bn"]["scale"])),
+                f"{prefix}.bn.weight",
+            ),
+            "bias": self._reg(
+                torch.tensor(_np(tree["norm"]["bn"]["bias"])),
+                f"{prefix}.bn.bias",
+            ),
+        }
+
+    def _convert_block(self, tree, prefix):
+        return {
+            "conv1": self._convert_convbnact(tree["conv1"], f"{prefix}.conv1"),
+            "conv2": self._convert_convbnact(tree["conv2"], f"{prefix}.conv2"),
+        }
+
+    def _convert(self, p):
+        enc, dec = p["encoder"], p["decoder"]
+        tree = {
+            "encoder": {
+                "in_conv": self._convert_block(
+                    enc["in_conv"], "encoder.in_conv"
+                )
+            }
+        }
+        for i in range(1, 5):
+            tree["encoder"][f"down{i}"] = self._convert_block(
+                enc[f"down{i}"]["block"], f"encoder.down{i}"
+            )
+        tree["decoder"] = {}
+        for i in range(1, 5):
+            up = dec[f"up{i}"]
+            k1, b1 = conv_w(up["conv1x1"])
+            tree["decoder"][f"up{i}"] = {
+                "k1x1": self._reg(k1, f"decoder.up{i}.conv1x1.weight"),
+                "b1x1": self._reg(b1, f"decoder.up{i}.conv1x1.bias"),
+                "block": self._convert_block(
+                    up["block"], f"decoder.up{i}.block"
+                ),
+            }
+        ko, bo = conv_w(dec["out_conv"])
+        tree["decoder"]["out_conv"] = {
+            "k": self._reg(ko, "decoder.out_conv.weight"),
+            "b": self._reg(bo, "decoder.out_conv.bias"),
+        }
+        return tree
+
+    _convert_stats = TorchUNet.__dict__["_convert_stats"]
+    _cba = TorchUNet.__dict__["_cba"]
+    _block = TorchUNet.__dict__["_block"]
+    export_flat = TorchUNet.__dict__["export_flat"]
+    load_flat = TorchUNet.__dict__["load_flat"]
+
+    # -- forward ------------------------------------------------------------
+    def _pcs_forward(self, x, emb):
+        """PCS channel attention (unet.py:103-144); returns (x, hmap)."""
+        avg = x.mean(dim=(2, 3), keepdim=True)
+        mx = x.amax(dim=(2, 3), keepdim=True)
+        e = emb.view(emb.shape[0], -1, 1, 1)
+        e = F.conv2d(e, self.pcs["fc1_a"])
+        e = F.relu(e)
+        e = F.conv2d(e, self.pcs["fc1_b"])
+
+        def fc2(t):
+            return F.conv2d(F.relu(F.conv2d(t, self.pcs["fc2_a"])), self.pcs["fc2_b"])
+
+        hmap = torch.sigmoid(fc2(torch.cat([avg, e], 1)) + fc2(torch.cat([mx, e], 1)))
+        return x * hmap + x, hmap
+
+    def forward(self, x_nhwc, emb_idx=None, train=True, stats=None):
+        """Returns (logits NCHW, bottleneck heatmap (B,C,1,1)).
+
+        Reference quirk (unet.py:186-189): emb_idx of None *or 0* falls back
+        to the model's own client id. ``stats``: override the BN running
+        stats dict (train-mode F.batch_norm updates it in place — pass a
+        clone to discard updates, e.g. for the ALA gate-learning forwards).
+        """
+        if emb_idx is None or emb_idx == 0:
+            emb_idx = self.client_id
+        stats = self.stats if stats is None else stats
+        x = torch.as_tensor(_np(x_nhwc).transpose(0, 3, 1, 2))
+        B = x.shape[0]
+        emb = torch.zeros((B, self.num_clients))
+        emb[:, emb_idx] = 1.0
+        e, es = self.tree["encoder"], stats["encoder"]
+        feats = [self._block(x, e["in_conv"], es["in_conv"], train)]
+        for i in range(1, 5):
+            x = F.max_pool2d(feats[-1], 2)
+            feats.append(self._block(x, e[f"down{i}"], es[f"down{i}"], train))
+        feats[4], hmap = self._pcs_forward(feats[4], emb)
+        d, ds = self.tree["decoder"], stats["decoder"]
+        x = feats[4]
+        for i, skip in zip(range(1, 5), (feats[3], feats[2], feats[1], feats[0])):
+            up = d[f"up{i}"]
+            x = F.conv2d(x, up["k1x1"], up["b1x1"])
+            x = F.interpolate(
+                x, scale_factor=2, mode="bilinear", align_corners=True
+            )
+            x = torch.cat([skip, x], dim=1)
+            x = self._block(x, up["block"], ds[f"up{i}"], train)
+        logits = F.conv2d(x, d["out_conv"]["k"], d["out_conv"]["b"], padding=1)
+        return logits, hmap
+
+    def clone_stats(self):
+        def walk(d):
+            return {
+                k: (walk(v) if isinstance(v, dict) else v.clone())
+                for k, v in d.items()
+            }
+
+        return walk(self.stats)
+
+
+def gated_crf_torch(y_soft, img, radius, sigma_xy=6.0, sigma_rgb=0.1):
+    """Differentiable Potts gated CRF (gate_crf_loss.py:5-205 live config:
+    one kernel {weight 1, xy 6, rgb 0.1}, radius 5, no masks)."""
+    B, C, H, W = y_soft.shape
+    d = 2 * radius + 1
+    cols = torch.arange(W, dtype=torch.float32).view(1, 1, 1, W).expand(B, 1, H, W)
+    rows = torch.arange(H, dtype=torch.float32).view(1, 1, H, 1).expand(B, 1, H, W)
+    feat = torch.cat([cols / sigma_xy, rows / sigma_xy, img / sigma_rgb], dim=1)
+
+    def unfold(t):
+        n, c = t.shape[:2]
+        return F.unfold(t, d, 1, radius).view(n, c, d, d, H, W)
+
+    fu = unfold(feat.detach())
+    diff = fu - feat.detach().view(B, -1, 1, 1, H, W)
+    kern = torch.exp(-0.5 * (diff ** 2).sum(dim=1, keepdim=True))
+    kern[:, :, radius, radius] = 0
+    yu = unfold(y_soft)
+    prod = (kern * yu).view(B, C, d * d, H, W).sum(dim=2)
+    return (kern.sum() - (prod * y_soft).sum()) / float(B * H * W)
+
+
+def _ours_minus_tree_loss(model, img, lab, num_classes, alpha,
+                          gatecrf_weight, radius):
+    """One training iteration's loss (…_Ours.py:110-164 with the tree term
+    ablated): pCE + 0.1*gatedCRF + alpha*loss_lc, with the contrast's K-1
+    foreign no-grad forwards run in train mode AFTER the main forward — each
+    updates the BN running stats in place, exactly the reference's
+    sequential stat threading."""
+    logits, hmap = model.forward(img, train=True)
+    probs = torch.softmax(logits, dim=1)
+    loss_ce = F.cross_entropy(
+        logits, torch.as_tensor(_np(lab)).long(), ignore_index=num_classes
+    )
+    img_nchw = torch.as_tensor(_np(img).transpose(0, 3, 1, 2))
+    loss_crf = gated_crf_torch(probs, img_nchw, radius)
+    loss_lc = 0.0
+    for other in range(model.num_clients):
+        if other == model.client_id:
+            continue
+        with torch.no_grad():
+            _, hm_o = model.forward(img, emb_idx=other, train=True)
+        loss_lc = loss_lc + F.mse_loss(hmap, hm_o.detach())
+    loss_lc = -loss_lc / (model.num_clients - 1)
+    loss = loss_ce + gatecrf_weight * loss_crf + alpha * loss_lc
+    return loss, float(loss_ce.detach()), float(loss_lc.detach())
+
+
+def torch_ala_set_weights(
+    model,
+    local_flat,
+    global_p,
+    global_s,
+    ala_batches_fn,
+    *,
+    num_classes,
+    iter_global,
+    ala_skip_iters,
+    start_phase,
+    max_epochs=50,
+):
+    """Reference MyModel.set_weights (flower_common.py:491-633) in torch.
+
+    ``local_flat`` = the client's previous local params (flat list);
+    ``global_p/global_s`` = the aggregated payload; ``ala_batches_fn(epoch)``
+    yields that epoch's batches. Returns the new start_phase. The model ends
+    holding: global weights everywhere, ALA-blended values on the gated
+    ('higher') params, global BN stats (the temp model's stat updates are
+    discarded — only param data is copied back, :617-620).
+    """
+    import copy
+
+    diff = sum(
+        float(np.abs(g - l).sum()) for g, l in zip(global_p, local_flat)
+    )
+    model.load_flat(global_p, global_s)
+    if diff == 0.0 or iter_global <= ala_skip_iters:
+        return start_phase
+
+    gated_keys = ("out_conv", "up4", "up3", "up2", "up1")
+    gated = [
+        i
+        for i, n in enumerate(model.names)
+        if any(k in n for k in gated_keys)
+    ]
+    local_t = [torch.tensor(local_flat[i]) for i in gated]
+    global_t = [torch.tensor(global_p[i]) for i in gated]
+    gates = [torch.ones_like(t) for t in local_t]  # quirk #3: fresh each round
+
+    losses = []
+    epoch = 0
+    while True:
+        batches = ala_batches_fn(epoch)
+        for img, lab in zip(batches["image"], batches["label"]):
+            # blend into the model's gated params (temp model)
+            with torch.no_grad():
+                for j, i in enumerate(gated):
+                    model.params[i].copy_(
+                        global_t[j] + (local_t[j] - global_t[j]) * gates[j]
+                    )
+            stats = model.clone_stats()  # discard BN stat updates
+            logits, _ = model.forward(img, train=True, stats=stats)
+            loss = F.cross_entropy(
+                logits,
+                torch.as_tensor(_np(lab)).long(),
+                ignore_index=num_classes,
+            )
+            for i in gated:
+                if model.params[i].grad is not None:
+                    model.params[i].grad = None
+            loss.backward()
+            with torch.no_grad():
+                for j, i in enumerate(gated):
+                    g = model.params[i].grad
+                    if g is None:
+                        continue
+                    # reference update (:596-597) with the quirk-#4 naming
+                    # inversion resolved: 'server_param - param' is
+                    # local - global
+                    gates[j] = torch.clamp(
+                        gates[j] - g * (local_t[j] - global_t[j]), 0, 1
+                    )
+        losses.append(float(loss.detach()))
+        epoch += 1
+        if not start_phase:
+            break
+        if len(losses) > 10 and float(np.std(losses[-10:])) < 0.1:
+            break
+        if epoch >= max_epochs:
+            break
+
+    with torch.no_grad():
+        for j, i in enumerate(gated):
+            model.params[i].copy_(
+                global_t[j] + (local_t[j] - global_t[j]) * gates[j]
+            )
+            model.params[i].grad = None
+    return False
+
+
+def run_torch_fedicra_ours(
+    flax_params,
+    flax_stats,
+    client_batches,  # list over clients of {'image': [R, iters, B,H,W,C], ...}
+    ala_batches,  # list over clients of {'image': [nb, B,H,W,C], ...} per epoch
+    *,
+    num_classes,
+    num_clients,
+    base_lr,
+    max_iterations,
+    rounds,
+    iters,
+    rep_iters,
+    alpha,
+    gatecrf_weight,
+    radius,
+    ala_skip_iters,
+):
+    """The full FedICRA federated loop (ours-minus-tree) in torch: per-round
+    ALA merge + head/body alternating AdamW phases + contrast + CRF + pCE,
+    FedAvg aggregation of params and BN stats. Returns
+    (losses[cid][global_iter], final global flat params, gated param count)."""
+    K = num_clients
+    models = [
+        TorchFedICRAUNet(flax_params, flax_stats, K, cid) for cid in range(K)
+    ]
+    global_p, global_s = models[0].export_flat()
+    local_flats = [[p.copy() for p in global_p] for _ in range(K)]
+    start_phases = [True] * K
+    losses = [[] for _ in range(K)]
+
+    head_names = {"decoder.out_conv.weight", "decoder.out_conv.bias"}
+    it_global = 0
+    for r in range(rounds):
+        results = []
+        for cid in range(K):
+            model = models[cid]
+            start_phases[cid] = torch_ala_set_weights(
+                model,
+                local_flats[cid],
+                global_p,
+                global_s,
+                lambda _e, c=cid: {
+                    "image": ala_batches[c]["image"],
+                    "label": ala_batches[c]["label"],
+                },
+                num_classes=num_classes,
+                iter_global=it_global + iters,  # fit_config iter_global
+                ala_skip_iters=ala_skip_iters,
+                start_phase=start_phases[cid],
+            )
+            opt = torch.optim.AdamW(
+                model.params,
+                lr=poly_lr(base_lr, it_global, max_iterations),
+                betas=(0.9, 0.999),
+                eps=1e-8,
+                weight_decay=1e-2,
+            )
+            it = it_global
+            for i in range(iters):
+                head_phase = i < iters - rep_iters
+                for n, p in zip(model.names, model.params):
+                    p.requires_grad_(
+                        (n in head_names) if head_phase else (n not in head_names)
+                    )
+                for g in opt.param_groups:
+                    g["lr"] = poly_lr(base_lr, it, max_iterations)
+                img = client_batches[cid]["image"][r, i]
+                lab = client_batches[cid]["label"][r, i]
+                loss, _, _ = _ours_minus_tree_loss(
+                    model, img, lab, num_classes, alpha, gatecrf_weight, radius
+                )
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+                losses[cid].append(float(loss.detach()))
+                it += 1
+            for p in model.params:
+                p.requires_grad_(True)
+            local_flats[cid] = [p.copy() for p in model.export_flat()[0]]
+            results.append(model.export_flat())
+        global_p = [
+            np.mean([res[0][j] for res in results], axis=0)
+            for j in range(len(global_p))
+        ]
+        global_s = [
+            np.mean([res[1][j] for res in results], axis=0)
+            for j in range(len(global_s))
+        ]
+        it_global += iters
+    return losses, global_p
+
+
 def run_torch_sgd_centralized(
     flax_params,
     flax_stats,
