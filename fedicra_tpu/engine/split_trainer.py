@@ -4,11 +4,13 @@ Some PJRT runtimes (notably tunneled dev TPUs) cannot run host callbacks
 inside jit, which blocks the pure_callback tree-filter offload. This trainer
 achieves the same computation with an explicit pipelined step:
 
-  part1 (jit): the main forward; returns softmax probs + aux heads at their
-          NATIVE decoder resolution (same rng as the backward parts, so
-          activations match). The host upsamples, and returns aux cotangents
-          already pulled back through the resize adjoint — cutting the
-          dominant device->host transfer ~40%.
+  part1 (jit): the main forward; returns softmax probs + aux heads (same rng
+          as the backward parts, so activations match). Aux heads ship at the
+          full output resolution by default (resize is free on device); set
+          FEDICRA_AUX_SHIP=native to ship them at decoder-native resolution
+          instead — ~40% smaller transfers, with the host paying the bilinear
+          upsample + resize-adjoint pullback (the host side is shape-driven
+          and handles both).
   part2a (jit): dispatched immediately after part1 — value_and_grad of every
           tree-independent term (partial CE + gated CRF + cross-client
           contrast). It depends only on (params, batch); the device chews on
@@ -124,6 +126,16 @@ def make_split_round_fn(model, cfg: TrainConfig):
     H = W = cfg.img_size
     tdtype = _transfer_dtype()
 
+    # Aux-head shipping resolution. 'full' (default): resize to the output
+    # resolution ON DEVICE (free under XLA) and skip the host-side resize +
+    # adjoint entirely. 'native': ship at decoder-native resolution
+    # (96/192/384 at 384^2) — ~40% smaller transfers, but the host then pays
+    # the bilinear upsample + adjoint (BLAS GEMMs after the round-3 rewrite;
+    # ~1-3 s/iter on a 1-core dev host, negligible on production hosts).
+    # Round 2's 'native' default with einsum resize was the 1.5 -> 0.9
+    # img/s regression (BASELINE.md round 3).
+    aux_full = os.environ.get("FEDICRA_AUX_SHIP", "full") != "native"
+
     @jax.jit
     def part1(params, batch_stats, k, images, cid):
         _, kd = jax.random.split(k)
@@ -136,10 +148,11 @@ def make_split_round_fn(model, cfg: TrainConfig):
             mutable=["batch_stats"],
         )
         probs = jax.nn.softmax(out["logits"], axis=-1)
-        # aux heads ship at NATIVE resolution (96/192/384 at 384^2) — the
-        # host upsamples for the chain and pulls the cotangents back through
-        # the resize adjoint, shrinking the dominant transfer ~40%
-        return tuple(t.astype(tdtype) for t in (probs, *out["aux"]))
+        aux = list(out["aux"])
+        if aux_full:
+            hw = (probs.shape[1], probs.shape[2])
+            aux = [_resize_bilinear(a, hw) for a in aux]
+        return tuple(t.astype(tdtype) for t in (probs, *aux))
 
     def _forward(params, batch_stats, kd, images, cid):
         """The shared (rematerialized) training forward."""
@@ -207,13 +220,18 @@ def make_split_round_fn(model, cfg: TrainConfig):
 
     def loss_tree_fn(params, batch_stats, k, batch, cid, dp, d1, d2, d3):
         """The injected tree term: gradient == host cotangents. The aux
-        cotangents arrive at native head resolution (already pulled back
-        through the resize adjoint on the host), so <aux_i, d_i> here equals
-        <resize(aux_i), d_i_fullres> exactly by linearity."""
+        cotangents arrive at whatever resolution part1 shipped (full by
+        default; decoder-native under FEDICRA_AUX_SHIP=native, where the host
+        pulls them back through the resize adjoint) — either way
+        <aux_i, d_i> here equals <resize(aux_i), d_i_fullres> by linearity,
+        so the resize below mirrors part1's."""
         images = batch["image"]
         _, kd = jax.random.split(k)
         logits, aux, _, _ = _forward(params, batch_stats, kd, images, cid)
         probs = jax.nn.softmax(logits, axis=-1)
+        if aux_full:
+            hw = (probs.shape[1], probs.shape[2])
+            aux = tuple(_resize_bilinear(a, hw) for a in aux)
         lin = (
             jnp.sum(probs * jax.lax.stop_gradient(dp).astype(probs.dtype))
             + jnp.sum(aux[0] * jax.lax.stop_gradient(d1).astype(probs.dtype))

@@ -74,6 +74,27 @@ def linear_resize_matrix(n_out: int, n_in: int) -> np.ndarray:
     return W
 
 
+def _apply_rows(M: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """out[b,i,w,c] = sum_j M[i,j] x[b,j,w,c] as ONE big BLAS GEMM.
+
+    np.einsum's element loop runs ~1-2 GFLOP/s on these contractions —
+    ~10 s/iteration of host resize at the headline config (the round-2
+    throughput regression); a reshaped sgemm is ~10x faster and
+    multithreaded on production hosts."""
+    b, j, w, c = x.shape
+    xt = np.ascontiguousarray(np.moveaxis(x, 1, 0).reshape(j, b * w * c))
+    y = M @ xt  # (i, b*w*c)
+    return np.moveaxis(y.reshape(M.shape[0], b, w, c), 0, 1)
+
+
+def _apply_cols(M: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """out[b,h,i,c] = sum_j M[i,j] x[b,h,j,c] as one big GEMM."""
+    b, h, j, c = x.shape
+    xt = np.ascontiguousarray(np.moveaxis(x, 2, 0).reshape(j, b * h * c))
+    y = M @ xt
+    return np.moveaxis(y.reshape(M.shape[0], b, h, c), 0, 2)
+
+
 def resize_up_host(x: np.ndarray, H: int, W: int) -> np.ndarray:
     """Bilinear upsample [B,h,w,C] -> [B,H,W,C], == jax resize 'linear'."""
     b, h, w, c = x.shape
@@ -81,8 +102,7 @@ def resize_up_host(x: np.ndarray, H: int, W: int) -> np.ndarray:
         return x
     Wh = linear_resize_matrix(H, h)
     Ww = linear_resize_matrix(W, w)
-    y = np.einsum("Hh,bhwc->bHwc", Wh, x)
-    return np.einsum("Ww,bhwc->bhWc", Ww, y)
+    return _apply_cols(Ww, _apply_rows(Wh, x))
 
 
 def resize_adjoint_host(d: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -95,8 +115,7 @@ def resize_adjoint_host(d: np.ndarray, h: int, w: int) -> np.ndarray:
         return d
     Wh = linear_resize_matrix(H, h)
     Ww = linear_resize_matrix(W, w)
-    y = np.einsum("Hh,bHWc->bhWc", Wh, d)
-    return np.einsum("Ww,bhWc->bhwc", Ww, y)
+    return _apply_cols(Ww.T, _apply_rows(Wh.T, d))
 
 
 def _filter_fwd(embed, x, eu, ev, sigma, low_tree):
