@@ -150,8 +150,13 @@ def make_split_round_fn(model, cfg: TrainConfig):
         probs = jax.nn.softmax(out["logits"], axis=-1)
         aux = list(out["aux"])
         if aux_full:
+            # pack (probs, aux1..3) into ONE (B,H,W,4C) array: tunneled
+            # runtimes pay a round-trip per fetched array, so four separate
+            # device->host fetches serialize four RTTs (measured ~2s/iter of
+            # the round-3 bench); one packed fetch pays one
             hw = (probs.shape[1], probs.shape[2])
             aux = [_resize_bilinear(a, hw) for a in aux]
+            return jnp.concatenate([probs, *aux], axis=-1).astype(tdtype)
         return tuple(t.astype(tdtype) for t in (probs, *aux))
 
     def _forward(params, batch_stats, kd, images, cid):
@@ -218,7 +223,18 @@ def make_split_round_fn(model, cfg: TrainConfig):
         )(params, stats, k, batch, cid)
         return grads_a, new_stats, loss_a, metrics
 
-    def loss_tree_fn(params, batch_stats, k, batch, cid, dp, d1, d2, d3):
+    def _unpack_cots(cots):
+        """Cotangents arrive packed as one (B,H,W,4C) array in aux_full mode
+        (one H2D upload), or as four arrays in native mode."""
+        if aux_full:
+            (dcat,) = cots
+            C = cfg.num_classes
+            return tuple(
+                dcat[..., i * C : (i + 1) * C] for i in range(4)
+            )
+        return cots
+
+    def loss_tree_fn(params, batch_stats, k, batch, cid, cots):
         """The injected tree term: gradient == host cotangents. The aux
         cotangents arrive at whatever resolution part1 shipped (full by
         default; decoder-native under FEDICRA_AUX_SHIP=native, where the host
@@ -226,6 +242,7 @@ def make_split_round_fn(model, cfg: TrainConfig):
         <aux_i, d_i> here equals <resize(aux_i), d_i_fullres> by linearity,
         so the resize below mirrors part1's."""
         images = batch["image"]
+        dp, d1, d2, d3 = _unpack_cots(cots)
         _, kd = jax.random.split(k)
         logits, aux, _, _ = _forward(params, batch_stats, kd, images, cid)
         probs = jax.nn.softmax(logits, axis=-1)
@@ -244,11 +261,11 @@ def make_split_round_fn(model, cfg: TrainConfig):
         @jax.jit
         def part2b(params, stats, opt_state, lr, k, batch, cid,
                    grads_a, new_stats, loss_a, metrics_a,
-                   tree_val, dp, d1, d2, d3):
+                   tree_val, cots):
             mask = path_mask(params, mask_predicate)
             opt = _masked_opt(_adamw(lr), mask)
             grads_t = jax.grad(loss_tree_fn)(
-                params, stats, k, batch, cid, dp, d1, d2, d3
+                params, stats, k, batch, cid, cots
             )
             grads = jax.tree.map(jnp.add, grads_a, grads_t)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -304,9 +321,16 @@ def make_split_round_fn(model, cfg: TrainConfig):
             # transfers with compute, so fetching after dispatching part2a
             # would block behind it), then dispatch part2a asynchronously:
             # the device executes it while the host runs the tree chain
-            probs_h, a1_h, a2_h, a3_h = (
-                np.asarray(t, dtype=np.float32) for t in p1_out
-            )
+            if aux_full:
+                packed = np.asarray(p1_out, dtype=np.float32)
+                C = cfg.num_classes
+                probs_h, a1_h, a2_h, a3_h = (
+                    packed[..., i * C : (i + 1) * C] for i in range(4)
+                )
+            else:
+                probs_h, a1_h, a2_h, a3_h = (
+                    np.asarray(t, dtype=np.float32) for t in p1_out
+                )
             if timing:
                 t1 = time.perf_counter()
                 _capture_cost("part1", part1, params, stats, k,
@@ -328,13 +352,19 @@ def make_split_round_fn(model, cfg: TrainConfig):
             )
             if timing:
                 t3 = time.perf_counter()
-            cot = [
-                jnp.asarray(c, dtype=tdtype) for c in (dpn, d1n, d2n, d3n)
-            ]
+            if aux_full:
+                cots = (jnp.asarray(
+                    np.concatenate((dpn, d1n, d2n, d3n), axis=-1),
+                    dtype=tdtype,
+                ),)
+            else:
+                cots = tuple(
+                    jnp.asarray(c, dtype=tdtype) for c in (dpn, d1n, d2n, d3n)
+                )
             lr = poly_lr(cfg.base_lr, it, cfg.max_iterations)
             args = (
                 lr, k, batch, cid_arr, grads_a, new_stats, loss_a, metrics_a,
-                jnp.float32(tree_val), *cot,
+                jnp.float32(tree_val), cots,
             )
             if cfg.fedicra:
                 if i < n_head:
