@@ -19,6 +19,8 @@ import argparse
 import os
 import sys
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 PROCEDURE_ALIASES = {
     # reference script names -> our procedure ids
     "flower_pCE_2D": "pce",

@@ -23,6 +23,8 @@ import os
 import shutil
 from typing import Dict, List
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import numpy as np
 
 

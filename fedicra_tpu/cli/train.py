@@ -20,6 +20,11 @@ import json
 import os
 import sys
 
+# Persistent jit cache: remote-compile runtimes take minutes per program
+# signature; without this every process (and every watchdog relaunch)
+# recompiles from scratch. setdefault so deployments can point elsewhere.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
