@@ -17,10 +17,14 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+@partial(jax.jit, static_argnames=("model", "num_samples"))
 def batch_uncertainty(
     model, params, batch_stats, images: Array, key: Array, num_samples: int = 8
 ) -> Array:
-    """Mean predictive entropy of the noisy-rotated ensemble for one batch."""
+    """Mean predictive entropy of the noisy-rotated ensemble for one batch.
+
+    Jitted with the module static (same rationale as
+    evaluate.predict_labels): one dispatch per batch instead of per-op."""
     k_rot, k_noise = jax.random.split(key)
     rot_times = jax.random.randint(k_rot, (), 0, 4)
     rotated = jax.lax.switch(
