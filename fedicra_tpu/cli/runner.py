@@ -19,7 +19,7 @@ import argparse
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
 
 PROCEDURE_ALIASES = {
     # reference script names -> our procedure ids

@@ -23,7 +23,7 @@ import os
 import shutil
 from typing import Dict, List
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
 
 import numpy as np
 

@@ -23,7 +23,7 @@ import sys
 # Persistent jit cache: remote-compile runtimes take minutes per program
 # signature; without this every process (and every watchdog relaunch)
 # recompiles from scratch. setdefault so deployments can point elsewhere.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -25,6 +25,15 @@ achieves the same computation with an explicit pipelined step:
 Gradients equal the monolithic device path up to float order (grads add
 linearly across the split); verified in tests/test_split_trainer.py.
 
+Transfer pipelining: in the packed (aux_full) mode the device<->host tensors
+move in FEDICRA_SPLIT_CHUNKS batch chunks (default 2 on accelerators). A
+single host worker runs the native chain on chunk k while chunk k+1 is still
+on the wire and each cotangent chunk uploads as soon as it is ready, so most
+of the transfer time hides behind the (CPU-bound) chain and most of the
+chain behind part2a. Bit-identical to the unchunked call
+(tests/test_split_chunked.py): images are independent, the ROI normalizer
+spans the full batch, per-image losses re-sum in image order.
+
 Transfer precision: on accelerator backends the device<->host tensors
 (probs/aux down, cotangents up) travel as bfloat16 — halving the dominant
 tunnel/PCIe cost for inputs that feed an exp(-d) kernel and a 0.1-weighted
@@ -39,6 +48,8 @@ and rng derivation mirror engine/trainer.py so trajectories agree.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
 from functools import partial
 from typing import Any, Dict, Tuple
@@ -97,6 +108,34 @@ def _capture_cost(name: str, jitted, *args):
         _COST_ANALYSIS[name] = None
 
 
+def _n_transfer_chunks() -> int:
+    """Batch-dim chunking of the device<->host tree tensors (aux_full mode).
+
+    With >1 chunks the fetch, host chain, and cotangent upload pipeline at
+    chunk granularity: the host worker filters chunk k while chunk k+1 is
+    still in flight on the wire, hiding most of the transfer time behind the
+    (CPU-bound) native chain. The math is bit-identical to the unchunked
+    call: images are independent, the ROI normalizer is computed over the
+    full batch, and the per-image losses are re-concatenated and summed in
+    image order. Default 2 on accelerators, 1 (off) on CPU; override with
+    FEDICRA_SPLIT_CHUNKS."""
+    env = os.environ.get("FEDICRA_SPLIT_CHUNKS")
+    if env is not None:
+        return max(1, int(env))
+    return 1 if jax.default_backend() == "cpu" else 2
+
+
+def _chunk_bounds(B: int, n: int):
+    """[(lo, hi)] covering range(B) in n near-equal contiguous slices."""
+    sizes = [B // n + (1 if i < B % n else 0) for i in range(n)]
+    bounds, lo = [], 0
+    for s in sizes:
+        if s > 0:
+            bounds.append((lo, lo + s))
+        lo += s
+    return bounds
+
+
 def _transfer_dtype():
     env = os.environ.get("FEDICRA_TREE_TRANSFER_DTYPE")
     if env:
@@ -135,6 +174,7 @@ def make_split_round_fn(model, cfg: TrainConfig):
     # Round 2's 'native' default with einsum resize was the 1.5 -> 0.9
     # img/s regression (BASELINE.md round 3).
     aux_full = os.environ.get("FEDICRA_AUX_SHIP", "full") != "native"
+    n_chunks = _n_transfer_chunks() if aux_full else 1
 
     @jax.jit
     def part1(params, batch_stats, k, images, cid):
@@ -150,13 +190,19 @@ def make_split_round_fn(model, cfg: TrainConfig):
         probs = jax.nn.softmax(out["logits"], axis=-1)
         aux = list(out["aux"])
         if aux_full:
-            # pack (probs, aux1..3) into ONE (B,H,W,4C) array: tunneled
-            # runtimes pay a round-trip per fetched array, so four separate
-            # device->host fetches serialize four RTTs (measured ~2s/iter of
-            # the round-3 bench); one packed fetch pays one
+            # pack (probs, aux1..3) into ONE (B,H,W,4C) array per transfer
+            # chunk: tunneled runtimes pay a round-trip per fetched array, so
+            # four separate device->host fetches serialize four RTTs
+            # (measured ~2s/iter of the round-3 bench); chunking along batch
+            # (default 2) then lets the host chain start on chunk 0 while
+            # chunk 1 is still on the wire (_n_transfer_chunks)
             hw = (probs.shape[1], probs.shape[2])
             aux = [_resize_bilinear(a, hw) for a in aux]
-            return jnp.concatenate([probs, *aux], axis=-1).astype(tdtype)
+            packed = jnp.concatenate([probs, *aux], axis=-1).astype(tdtype)
+            return tuple(
+                packed[lo:hi]
+                for lo, hi in _chunk_bounds(packed.shape[0], n_chunks)
+            )
         return tuple(t.astype(tdtype) for t in (probs, *aux))
 
     def _forward(params, batch_stats, kd, images, cid):
@@ -224,10 +270,11 @@ def make_split_round_fn(model, cfg: TrainConfig):
         return grads_a, new_stats, loss_a, metrics
 
     def _unpack_cots(cots):
-        """Cotangents arrive packed as one (B,H,W,4C) array in aux_full mode
-        (one H2D upload), or as four arrays in native mode."""
+        """Cotangents arrive packed as (Bc,H,W,4C) batch chunks in aux_full
+        mode (one H2D upload each, pipelined with the host chain), or as four
+        full-batch arrays in native mode."""
         if aux_full:
-            (dcat,) = cots
+            dcat = cots[0] if len(cots) == 1 else jnp.concatenate(cots, axis=0)
             C = cfg.num_classes
             return tuple(
                 dcat[..., i * C : (i + 1) * C] for i in range(4)
@@ -317,47 +364,123 @@ def make_split_round_fn(model, cfg: TrainConfig):
             rng, k = jax.random.split(rng)
             t0 = time.perf_counter() if timing else 0.0
             p1_out = part1(params, stats, k, batch["image"], cid_arr)
-            # fetch part1's outputs FIRST (tunneled runtimes serialize
-            # transfers with compute, so fetching after dispatching part2a
-            # would block behind it), then dispatch part2a asynchronously:
-            # the device executes it while the host runs the tree chain
+            img_np = images_np[i]
+            low = img_np if img_np.shape[-1] == 3 else np.repeat(img_np, 3, -1)
+            rois = (labels_np[i] == cfg.num_classes).astype(np.float32)
             if aux_full:
-                packed = np.asarray(p1_out, dtype=np.float32)
+                # Pipelined fetch -> host chain -> upload at chunk
+                # granularity. Transfers are queued first (tunneled runtimes
+                # serialize transfers with compute, so fetching after
+                # dispatching part2a would block behind it); a single worker
+                # thread runs the native chain on chunk k while chunk k+1 is
+                # still in flight, and each cotangent chunk uploads as soon
+                # as it is ready — while the worker filters the next chunk
+                # and the device chews on part2a. The ROI normalizer and the
+                # per-image loss sum reproduce the unchunked call bit-exactly.
+                # NOTE: no copy_to_host_async here — on the tunneled runtime
+                # it takes a slow path with multi-second latency spikes
+                # (measured 17-08-2026: async-first fetch of two 21MB chunks
+                # 5-13s vs 2-3s for plain in-order np.asarray). The blocking
+                # per-chunk fetch already overlaps: while the main thread
+                # waits on chunk k+1's wire time, the worker below runs the
+                # native chain on chunk k.
+                bounds = _chunk_bounds(low.shape[0], n_chunks)
+                n_roi = float(rois.sum(dtype=np.float32))
                 C = cfg.num_classes
-                probs_h, a1_h, a2_h, a3_h = (
-                    packed[..., i * C : (i + 1) * C] for i in range(4)
-                )
+                outq: "queue.Queue" = queue.Queue()
+                inq: "queue.Queue" = queue.Queue()
+
+                def _worker():
+                    while True:
+                        item = inq.get()
+                        if item is None:
+                            return
+                        idx, arr, lo, hi = item
+                        try:
+                            res = multi_scale_tree_loss_host(
+                                arr[..., 0:C],
+                                low[lo:hi],
+                                arr[..., C : 2 * C],
+                                arr[..., 2 * C : 3 * C],
+                                arr[..., 3 * C : 4 * C],
+                                rois[lo:hi],
+                                cfg.tree_loss_weight,
+                                recursive=tree_recursive,
+                                roi_total=n_roi,
+                                per_image=True,
+                            )
+                        except BaseException as e:  # propagate to main
+                            res = e
+                        outq.put((idx, res))
+
+                worker = threading.Thread(target=_worker, daemon=True)
+                worker.start()
+                try:
+                    try:
+                        for idx, (chk, (lo, hi)) in enumerate(
+                            zip(p1_out, bounds)
+                        ):
+                            inq.put((idx, np.asarray(chk, dtype=np.float32),
+                                     lo, hi))
+                    finally:
+                        inq.put(None)  # always release the worker
+                    if timing:
+                        t1 = time.perf_counter()
+                        _capture_cost("part1", part1, params, stats, k,
+                                      batch["image"], cid_arr)
+                    grads_a, new_stats, loss_a, metrics_a = part2a(
+                        params, stats, k, batch, cid_arr
+                    )
+                    if timing:
+                        float(np.asarray(loss_a))  # sync (breaks the overlap)
+                        t2 = time.perf_counter()
+                        _capture_cost("part2a", part2a, params, stats, k,
+                                      batch, cid_arr)
+                    loss_parts = [None] * len(bounds)
+                    cot_parts = [None] * len(bounds)
+                    pending = {}
+                    for nxt in range(len(bounds)):
+                        # consume in index order so uploads keep image order
+                        while nxt not in pending:
+                            idx, res = outq.get()
+                            if isinstance(res, BaseException):
+                                raise res
+                            pending[idx] = res
+                        li, dpn, d1n, d2n, d3n = pending.pop(nxt)
+                        loss_parts[nxt] = li
+                        cot_parts[nxt] = jnp.asarray(
+                            np.concatenate((dpn, d1n, d2n, d3n), axis=-1),
+                            dtype=tdtype,
+                        )
+                finally:
+                    worker.join()
+                tree_val = float(np.concatenate(loss_parts).sum())
+                cots = tuple(cot_parts)
+                if timing:
+                    t3 = time.perf_counter()
             else:
                 probs_h, a1_h, a2_h, a3_h = (
                     np.asarray(t, dtype=np.float32) for t in p1_out
                 )
-            if timing:
-                t1 = time.perf_counter()
-                _capture_cost("part1", part1, params, stats, k,
-                              batch["image"], cid_arr)
-            grads_a, new_stats, loss_a, metrics_a = part2a(
-                params, stats, k, batch, cid_arr
-            )
-            if timing:
-                float(np.asarray(loss_a))  # sync (breaks the overlap)
-                t2 = time.perf_counter()
-                _capture_cost("part2a", part2a, params, stats, k, batch,
-                              cid_arr)
-            img_np = images_np[i]
-            low = img_np if img_np.shape[-1] == 3 else np.repeat(img_np, 3, -1)
-            rois = (labels_np[i] == cfg.num_classes).astype(np.float32)
-            tree_val, dpn, d1n, d2n, d3n = multi_scale_tree_loss_host(
-                probs_h, low, a1_h, a2_h, a3_h, rois, cfg.tree_loss_weight,
-                recursive=tree_recursive,
-            )
-            if timing:
-                t3 = time.perf_counter()
-            if aux_full:
-                cots = (jnp.asarray(
-                    np.concatenate((dpn, d1n, d2n, d3n), axis=-1),
-                    dtype=tdtype,
-                ),)
-            else:
+                if timing:
+                    t1 = time.perf_counter()
+                    _capture_cost("part1", part1, params, stats, k,
+                                  batch["image"], cid_arr)
+                grads_a, new_stats, loss_a, metrics_a = part2a(
+                    params, stats, k, batch, cid_arr
+                )
+                if timing:
+                    float(np.asarray(loss_a))  # sync (breaks the overlap)
+                    t2 = time.perf_counter()
+                    _capture_cost("part2a", part2a, params, stats, k, batch,
+                                  cid_arr)
+                tree_val, dpn, d1n, d2n, d3n = multi_scale_tree_loss_host(
+                    probs_h, low, a1_h, a2_h, a3_h, rois,
+                    cfg.tree_loss_weight,
+                    recursive=tree_recursive,
+                )
+                if timing:
+                    t3 = time.perf_counter()
                 cots = tuple(
                     jnp.asarray(c, dtype=tdtype) for c in (dpn, d1n, d2n, d3n)
                 )

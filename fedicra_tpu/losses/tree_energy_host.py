@@ -144,8 +144,15 @@ def multi_scale_tree_loss_host(
     *,
     sigma: float = 0.02,
     recursive: bool = True,
+    roi_total: float | None = None,
+    per_image: bool = False,
 ) -> Tuple[float, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Returns (loss, d_prob, d_aux1, d_aux2, d_aux3).
+
+    ``roi_total``: override the ROI normalizer N (for chunked callers that
+    process a slice of the batch but must normalize by the whole batch's ROI
+    count, exactly as the unchunked call would). ``per_image``: return the
+    un-summed float32 [B] loss vector as the first element.
 
     Aux heads may arrive at their native decoder resolution: they are
     bilinearly upsampled here (== the device's jax.image.resize 'linear'),
@@ -165,7 +172,7 @@ def multi_scale_tree_loss_host(
     a_f = [flat(resize_up_host(np.asarray(a, np.float32), h, w)) for a in aux_in]
 
     roi_b = rois.reshape(b, V).astype(np.float32)
-    n = float(roi_b.sum())
+    n = float(roi_b.sum()) if roi_total is None else float(roi_total)
     scale = weight / (n if n > 0 else 1.0)
 
     from .. import native
@@ -174,6 +181,7 @@ def multi_scale_tree_loss_host(
         low_f, prob_f, a_f[0], a_f[1], a_f[2], roi_b, scale, sigma, eu, ev,
         low_structure=_low_structure_cached(low_f, (h, w), eu, ev, sigma),
         recursive=recursive,
+        per_image=per_image,
     )
     unflat = lambda t, ch: t.reshape(b, h, w, ch)
     d_aux = [

@@ -258,9 +258,13 @@ def tree_energy_chain_host(
     ev: np.ndarray,
     low_structure=None,
     recursive: bool = True,
+    per_image: bool = False,
 ):
     """Single-call multi-scale tree-energy chain: returns
-    (loss_scalar, d_prob, d_a1, d_a2, d_a3). ``scale`` = weight/max(N,1).
+    (loss_scalar, d_prob, d_a1, d_a2, d_a3) — or, with ``per_image``, the
+    un-summed float32 [B] loss vector as the first element (lets a chunked
+    caller reproduce the full-batch sum bit-exactly by concatenating the
+    per-image losses and summing once). ``scale`` = weight/max(N,1).
     ``recursive``: True = the 'Ours' chained variant
     (flower_common.py:756-818); False = the MScaleAdd fan-out variant
     (:692-753). ``low_structure``: optional (parent, order, w) from
@@ -312,4 +316,4 @@ def tree_energy_chain_host(
         fp(loss), fp(d_prob), fp(d_a1), fp(d_a2), fp(d_a3),
         lp, lo, lw, int(bool(recursive)),
     )
-    return float(loss.sum()), d_prob, d_a1, d_a2, d_a3
+    return (loss if per_image else float(loss.sum())), d_prob, d_a1, d_a2, d_a3

@@ -131,9 +131,40 @@ void root_tree(const int* eu, const int* ev, const std::vector<uint8_t>& sel,
 // (in/out row-major [V, CH] indexed by BFS position, weights w_ord[qi]).
 // Reads stream sequentially; the only irregular accesses are the
 // parent-position rows, which BFS order keeps close in memory.
-void two_pass_ord(const std::vector<float>& in_ord,
-                  const std::vector<float>& w_ord, const Tree& t, int V,
-                  int CH, std::vector<float>& A, std::vector<float>& F) {
+// Templated on the channel count so the compiler emits fixed-width vector
+// code for the hot row kernels (CH is 3/4/6/8 for C in {2,3}; a runtime
+// trip count defeats unrolling on these 12-24 byte rows).
+template <int CHT>
+void two_pass_ord_t(const std::vector<float>& in_ord,
+                    const std::vector<float>& w_ord, const Tree& t, int V,
+                    std::vector<float>& A, std::vector<float>& F) {
+  A = in_ord;
+  const int* __restrict ppos = t.ppos.data();
+  const float* __restrict w = w_ord.data();
+  float* __restrict Ad = A.data();
+  for (int qi = V - 1; qi >= 1; --qi) {
+    float wv = w[qi];
+    const float* av = Ad + (size_t)qi * CHT;
+    float* ap = Ad + (size_t)ppos[qi] * CHT;
+    for (int c = 0; c < CHT; ++c) ap[c] += wv * av[c];
+  }
+  F.resize((size_t)V * CHT);
+  float* __restrict Fd = F.data();
+  for (int c = 0; c < CHT; ++c) Fd[c] = Ad[c];  // root: w=0
+  for (int qi = 1; qi < V; ++qi) {
+    float wv = w[qi];
+    const float* av = Ad + (size_t)qi * CHT;
+    const float* fp = Fd + (size_t)ppos[qi] * CHT;
+    float* fv = Fd + (size_t)qi * CHT;
+    float k = 1.f - wv * wv;
+    for (int c = 0; c < CHT; ++c) fv[c] = av[c] * k + wv * fp[c];
+  }
+}
+
+void two_pass_ord_generic(const std::vector<float>& in_ord,
+                          const std::vector<float>& w_ord, const Tree& t,
+                          int V, int CH, std::vector<float>& A,
+                          std::vector<float>& F) {
   A = in_ord;
   const int* ppos = t.ppos.data();
   for (int qi = V - 1; qi >= 1; --qi) {
@@ -151,6 +182,19 @@ void two_pass_ord(const std::vector<float>& in_ord,
     float* fv = &F[(size_t)qi * CH];
     float k = 1.f - wv * wv;
     for (int c = 0; c < CH; ++c) fv[c] = av[c] * k + wv * fp[c];
+  }
+}
+
+void two_pass_ord(const std::vector<float>& in_ord,
+                  const std::vector<float>& w_ord, const Tree& t, int V,
+                  int CH, std::vector<float>& A, std::vector<float>& F) {
+  switch (CH) {
+    case 3: return two_pass_ord_t<3>(in_ord, w_ord, t, V, A, F);
+    case 4: return two_pass_ord_t<4>(in_ord, w_ord, t, V, A, F);
+    case 6: return two_pass_ord_t<6>(in_ord, w_ord, t, V, A, F);
+    case 8: return two_pass_ord_t<8>(in_ord, w_ord, t, V, A, F);
+    default:
+      return two_pass_ord_generic(in_ord, w_ord, t, V, CH, A, F);
   }
 }
 

@@ -16,7 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
 os.environ.setdefault(
     "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1"
 )
