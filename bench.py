@@ -32,9 +32,11 @@ import statistics
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
-
 import jax
+
+from fedicra_tpu.utils.jit_cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 import numpy as np
 

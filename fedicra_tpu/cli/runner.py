@@ -19,7 +19,9 @@ import argparse
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
+from ..utils.jit_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 PROCEDURE_ALIASES = {
     # reference script names -> our procedure ids

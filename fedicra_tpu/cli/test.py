@@ -23,7 +23,9 @@ import os
 import shutil
 from typing import Dict, List
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
+from ..utils.jit_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 import numpy as np
 

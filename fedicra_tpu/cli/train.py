@@ -22,8 +22,10 @@ import sys
 
 # Persistent jit cache: remote-compile runtimes take minutes per program
 # signature; without this every process (and every watchdog relaunch)
-# recompiles from scratch. setdefault so deployments can point elsewhere.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
+# recompiles from scratch. Must go through jax.config (utils/jit_cache.py).
+from ..utils.jit_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def build_parser() -> argparse.ArgumentParser:

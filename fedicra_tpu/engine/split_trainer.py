@@ -355,8 +355,15 @@ def make_split_round_fn(model, cfg: TrainConfig):
         labels_np = np.asarray(batches["label"])
         images_np = np.asarray(batches["image"])
         timing = os.environ.get("FEDICRA_SPLIT_TIMING") == "1"
+        # Per-iteration liveness heartbeat (long-run supervision: the first
+        # iteration of a launch blocks minutes in the remote compiler, and
+        # watchdogs need evidence the child is alive, not wedged)
+        verbose = os.environ.get("FEDICRA_VERBOSE") == "1"
         all_metrics = []
         for i in range(n_iters):
+            if verbose:
+                print(f"[split it={it} i={i}/{n_iters}] dispatch part1"
+                      + (" (may compile)" if i == 0 else ""), flush=True)
             batch = {
                 "image": batches["image"][i],
                 "label": batches["label"][i],

@@ -37,8 +37,11 @@ def load_task_splits(
     root = os.path.join(data_root, task["root_subdir"]) if data_root else None
     for cid, (client, sup) in enumerate(sup_types.items()):
         if root and os.path.isdir(root):
+            print(f"[data] loading {client} ({sup}) from {root}", flush=True)
             train = load_client_split(root, client, "train", sup, limit_per_client)
             val = load_client_split(root, client, "val", "mask", limit_per_client)
+            print(f"[data] {client}: train={len(train)} val={len(val)}",
+                  flush=True)
         else:
             n = limit_per_client or 24
             train = make_synthetic_split(

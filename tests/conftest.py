@@ -16,17 +16,18 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
-os.environ.setdefault(
-    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1"
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-
 import jax  # noqa: E402
 
 # the environment's sitecustomize registers the tunneled-TPU backend at
-# interpreter start, before this conftest runs; the config update (unlike
-# the env var) reliably pins the test backend to the virtual CPU mesh
+# interpreter start, before this conftest runs; config updates (unlike the
+# env vars, which latch at jax-import time) reliably pin the test backend
+# to the virtual CPU mesh and enable the persistent compile cache
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", False)
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+from fedicra_tpu.utils.jit_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

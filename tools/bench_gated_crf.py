@@ -16,13 +16,18 @@ Prints one JSON line. BENCH_SMALL=1 for a 128^2 bs4 quick run.
 import json
 import os
 import statistics
+import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fedicra_tpu/jax"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from fedicra_tpu.utils.jit_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def main():

@@ -29,6 +29,16 @@ import sys
 import time
 
 
+def child_cpu_ticks(pid: int) -> int:
+    """utime+stime of pid from /proc (0 if unreadable)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(") ", 1)[1].split()
+        return int(parts[11]) + int(parts[12])  # fields 14+15, 1-indexed
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def last_round(metrics_path: str) -> int:
     """Largest round index recorded in metrics.jsonl (0 if absent)."""
     best = 0
@@ -98,8 +108,12 @@ def main():
         plog(f"launch #{launches} (recorded {reached}/{args.target}); "
              f"log {child_log}")
         with open(child_log, "w") as lf:
-            child = subprocess.Popen(cmd, stdout=lf, stderr=subprocess.STDOUT)
+            child = subprocess.Popen(
+                cmd, stdout=lf, stderr=subprocess.STDOUT,
+                env={**os.environ, "FEDICRA_VERBOSE": "1"},
+            )
         try:
+            last_ticks, cpu_fresh_at = -1, time.time()
             while True:
                 try:
                     child.wait(timeout=60)
@@ -111,10 +125,19 @@ def main():
                     logage = time.time() - os.path.getmtime(child_log)
                 except OSError:
                     age = logage = 0.0
-                # wedge = neither the metrics stream NOR the child log moved
-                if min(age, logage) > args.stall_sec:
-                    plog(f"stale for {min(age, logage):.0f}s; killing child "
-                         f"pid {child.pid}")
+                # A child that is burning CPU is NOT wedged, whatever the
+                # files say: cold starts legitimately go >30 min with no
+                # output (data preload + remote compiles), while the known
+                # TPU-worker wedge blocks on a dead RPC at ~0% CPU. Track
+                # utime+stime from /proc so only a *quiet* child is stale.
+                ticks = child_cpu_ticks(child.pid)
+                if ticks > last_ticks + 5:  # >~50ms CPU since last poll
+                    last_ticks, cpu_fresh_at = ticks, time.time()
+                cpuage = time.time() - cpu_fresh_at
+                # wedge = no file moved AND the process is CPU-idle
+                if min(age, logage, cpuage) > args.stall_sec:
+                    plog(f"stale for {min(age, logage):.0f}s (cpu idle "
+                         f"{cpuage:.0f}s); killing child pid {child.pid}")
                     child.send_signal(signal.SIGKILL)
                     child.wait()
                     break
