@@ -42,6 +42,9 @@ import numpy as np
 
 REFERENCE_IMGS_PER_SEC_ESTIMATE = 12.0
 
+# sampled at import, before this process generates any load itself
+HOST_LOAD_AT_START = round(os.getloadavg()[0], 2)
+
 # bf16 MXU peak per chip by device kind (dense); fp32 runs via multi-pass
 # bf16 on the MXU, so MFU computed against the bf16 peak is conservative.
 PEAK_FLOPS = {
@@ -154,19 +157,30 @@ def main():
     assert np.isfinite(last_loss), last_loss
     median_rate = statistics.median(window_rates)
 
-    # instrumented window: per-phase wall-clock + compiled cost analysis
+    # instrumented window: per-phase wall-clock + compiled cost analysis.
+    # Runs UNCHUNKED (FEDICRA_SPLIT_CHUNKS=1) so the serial phases are
+    # cleanly attributable — under the production chunked pipeline the
+    # timers would only see overlap residuals. One extra (persistent-
+    # cached) part1 signature; throughput above used the production path.
     phases = {}
     cost = {}
     is_split = getattr(round_fn, "is_split", False)
     if is_split:
         split_trainer.reset_instrumentation()
+        prev_chunks = os.environ.get("FEDICRA_SPLIT_CHUNKS")
         os.environ["FEDICRA_SPLIT_TIMING"] = "1"
+        os.environ["FEDICRA_SPLIT_CHUNKS"] = "1"
         try:
+            phase_fn = build_round_fn(model, cfg)
             for j in range(phase_iters):
-                state, m = round_fn(state, batch_list[j % n_batches], cid)
+                state, m = phase_fn(state, batch_list[j % n_batches], cid)
             sync(m)
         finally:
             os.environ.pop("FEDICRA_SPLIT_TIMING", None)
+            if prev_chunks is None:
+                os.environ.pop("FEDICRA_SPLIT_CHUNKS", None)
+            else:
+                os.environ["FEDICRA_SPLIT_CHUNKS"] = prev_chunks
         log = split_trainer.phase_log()
         if log:
             phases = {
@@ -203,6 +217,10 @@ def main():
         "tree_cache": low_tree_cache_stats(),
         "amp": amp,
         "n_distinct_batches": n_batches,
+        "transfer_chunks": split_trainer._n_transfer_chunks(),
+        # 1-min load BEFORE this process ramped: >~1 means another job was
+        # competing for the single host core and the numbers are suspect
+        "host_load_at_start": HOST_LOAD_AT_START,
         "backend": jax.default_backend(),
         "device_kind": jax.devices()[0].device_kind,
     }
