@@ -42,9 +42,6 @@ import numpy as np
 
 REFERENCE_IMGS_PER_SEC_ESTIMATE = 12.0
 
-# sampled at import, before this process generates any load itself
-HOST_LOAD_AT_START = round(os.getloadavg()[0], 2)
-
 # bf16 MXU peak per chip by device kind (dense); fp32 runs via multi-pass
 # bf16 on the MXU, so MFU computed against the bf16 peak is conservative.
 PEAK_FLOPS = {
@@ -66,6 +63,9 @@ def _peak_flops() -> float | None:
 
 
 def main():
+    # sampled before this process generates load (post-quiesce): >~1 means
+    # another job still shares the single host core and numbers are suspect
+    host_load_at_start = round(os.getloadavg()[0], 2)
     # allow a fast CI-size run with BENCH_SMALL=1
     small = os.environ.get("BENCH_SMALL") == "1"
     img = 128 if small else 384
@@ -218,9 +218,7 @@ def main():
         "amp": amp,
         "n_distinct_batches": n_batches,
         "transfer_chunks": split_trainer._n_transfer_chunks(),
-        # 1-min load BEFORE this process ramped: >~1 means another job was
-        # competing for the single host core and the numbers are suspect
-        "host_load_at_start": HOST_LOAD_AT_START,
+        "host_load_at_start": host_load_at_start,
         "backend": jax.default_backend(),
         "device_kind": jax.devices()[0].device_kind,
     }
@@ -228,4 +226,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from fedicra_tpu.utils.quiesce import quiesce
+
+    # ask any watchdog-supervised training run to yield the chip + host
+    # core for the measurement (it resumes from its round snapshot after)
+    with quiesce():
+        main()

@@ -28,6 +28,10 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fedicra_tpu.utils.quiesce import quiesce_requested  # noqa: E402
+
 
 def child_cpu_ticks(pid: int) -> int:
     """utime+stime of pid from /proc (0 if unreadable)."""
@@ -130,6 +134,17 @@ def main():
                 # output (data preload + remote compiles), while the known
                 # TPU-worker wedge blocks on a dead RPC at ~0% CPU. Track
                 # utime+stime from /proc so only a *quiet* child is stale.
+                if quiesce_requested():
+                    # a benchmark/dryrun asked for the box: yield the chip
+                    # and the host core; relaunch-with-resume after it
+                    # clears (cheap: warm jit cache + round snapshots)
+                    plog(f"quiesce requested; killing child pid {child.pid}")
+                    child.send_signal(signal.SIGKILL)
+                    child.wait()
+                    while quiesce_requested():
+                        time.sleep(15.0)
+                    plog("quiesce cleared")
+                    break
                 ticks = child_cpu_ticks(child.pid)
                 if ticks > last_ticks + 5:  # >~50ms CPU since last poll
                     last_ticks, cpu_fresh_at = ticks, time.time()
