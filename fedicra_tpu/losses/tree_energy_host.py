@@ -32,12 +32,24 @@ import numpy as np
 # a hash hit cannot silently reuse a wrong tree.
 _LOW_TREE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _LOW_TREE_CACHE_MAX = int(os.environ.get("FEDICRA_LOW_TREE_CACHE", "128"))
-_CACHE_STATS = {"hits": 0, "misses": 0}
+_CACHE_STATS = {"hits": 0, "misses": 0, "disk_hits": 0}
 
 
 def low_tree_cache_stats() -> dict:
     """Hit/miss counters + occupancy (bench/observability)."""
     return dict(_CACHE_STATS, size=len(_LOW_TREE_CACHE), max=_LOW_TREE_CACHE_MAX)
+
+
+def _disk_cache_dir() -> str | None:
+    """Second cache level on disk: the MST/rooting depends only on the guide
+    image (which never changes across relaunches), so a process restart —
+    watchdog resume, quiesce yield, wedge recovery — shouldn't repay ~10-15s
+    per distinct batch rebuilding trees the previous process already built.
+    FEDICRA_TREE_CACHE_DIR= (empty) disables."""
+    d = os.environ.get("FEDICRA_TREE_CACHE_DIR")
+    if d is None:
+        d = os.path.expanduser("~/.cache/fedicra_tpu/trees")
+    return d or None
 
 
 def _low_structure_cached(low_f: np.ndarray, hw: tuple, eu, ev, sigma: float):
@@ -51,7 +63,33 @@ def _low_structure_cached(low_f: np.ndarray, hw: tuple, eu, ev, sigma: float):
         _LOW_TREE_CACHE.move_to_end(key)
         return hit
     _CACHE_STATS["misses"] += 1
-    structure = native.tree_low_structure_build(low_f, eu, ev, sigma)
+    ddir = _disk_cache_dir()
+    fname = None
+    if ddir:
+        shape_tag = "x".join(map(str, low_f.shape + tuple(hw)))
+        fname = os.path.join(
+            ddir, f"{digest.hex()}_{shape_tag}_{float(sigma)}.npz"
+        )
+        try:
+            with np.load(fname) as z:
+                structure = (z["parent"], z["order"], z["w"])
+            _CACHE_STATS["disk_hits"] += 1
+        except (OSError, KeyError):
+            structure = None
+    else:
+        structure = None
+    if structure is None:
+        structure = native.tree_low_structure_build(low_f, eu, ev, sigma)
+        if fname:
+            try:
+                os.makedirs(ddir, exist_ok=True)
+                # savez appends .npz unless the name already ends with it
+                tmp = f"{fname}.{os.getpid()}.tmp.npz"
+                np.savez(tmp, parent=structure[0], order=structure[1],
+                         w=structure[2])
+                os.replace(tmp, fname)  # atomic vs concurrent writers
+            except OSError:
+                pass
     _LOW_TREE_CACHE[key] = structure
     while len(_LOW_TREE_CACHE) > _LOW_TREE_CACHE_MAX:
         _LOW_TREE_CACHE.popitem(last=False)

@@ -156,3 +156,23 @@ def test_host_filter_under_jit():
     assert np.isfinite(float(v))
     g = jax.jit(jax.grad(f))(logits)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_low_tree_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """A process restart (watchdog resume/quiesce yield) must reload the
+    identical low-tree structure from disk instead of rebuilding it."""
+    monkeypatch.setenv("FEDICRA_TREE_CACHE_DIR", str(tmp_path))
+    from fedicra_tpu.losses import tree_energy_host as teh
+    from fedicra_tpu.ops.mst import grid_edges
+
+    H = W = 16
+    rng = np.random.default_rng(7)
+    low = rng.random((2, H * W, 3), np.float32)
+    eu, ev = grid_edges(H, W)
+    s1 = teh._low_structure_cached(low, (H, W), eu, ev, 0.02)
+    teh._LOW_TREE_CACHE.clear()  # simulate a fresh process
+    before = teh.low_tree_cache_stats()["disk_hits"]
+    s2 = teh._low_structure_cached(low, (H, W), eu, ev, 0.02)
+    assert teh.low_tree_cache_stats()["disk_hits"] == before + 1
+    for a, b in zip(s1, s2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
