@@ -362,7 +362,8 @@ def make_split_round_fn(model, cfg: TrainConfig):
         all_metrics = []
         for i in range(n_iters):
             if verbose:
-                print(f"[split it={it} i={i}/{n_iters}] dispatch part1"
+                print(f"[split {time.strftime('%H:%M:%S')} it={it} "
+                      f"i={i}/{n_iters}] dispatch part1"
                       + (" (may compile)" if i == 0 else ""), flush=True)
             batch = {
                 "image": batches["image"][i],
