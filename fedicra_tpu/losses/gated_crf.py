@@ -181,9 +181,14 @@ def gated_crf_loss_auto(
 ) -> Array:
     """Live-path dispatch. FEDICRA_GATED_CRF=pallas opts into the fused
     Pallas kernel (one HBM pass instead of ~120); the default stays on the
-    XLA streaming path — the kernel's 120 statically-unrolled offsets make
-    its Mosaic compile take tens of minutes on remote-compile runtimes,
-    which dwarfs the per-step win outside long production runs."""
+    XLA streaming path. Measured decision (tools/bench_gated_crf.py, TPU
+    v5e, 384^2 bs12): the XLA path runs value+grad in 0.12 s (30 s
+    compile), i.e. <2% of the 6.9 s pipelined train iteration, while this
+    runtime's remote Mosaic compiler rejects the fori_loop+roll kernel
+    outright (tpu_compile_helper crash) and took >30 min on the round-2
+    unrolled form. The kernel is retired from the default path but kept
+    (interpret-mode tested, tests/test_gated_crf_pallas.py) for toolchains
+    whose Mosaic accepts it — see BASELINE.md round-3 record."""
     import os
 
     if os.environ.get("FEDICRA_GATED_CRF") == "pallas":
