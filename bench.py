@@ -12,10 +12,10 @@ Measurement protocol (round 3 — see VERDICT r2 weak #1/#2/#5):
 - throughput = MEDIAN of >=3 timed windows (each window cycles the batch
   set), cold first-pass window reported separately;
 - one extra instrumented window (FEDICRA_SPLIT_TIMING=1) records per-phase
-  wall-clock [part1+fetch | part2a | host tree chain | upload+part2b] and
-  compiled cost analysis; note the phase syncs defeat the part2a/host-chain
-  overlap, so the phase sum exceeds the pipelined iteration time;
-- MFU from compiled flops (part1+part2a+part2b) vs the chip's bf16 peak.
+  wall-clock [part2a+fetch | host tree chain | upload+part2b] and compiled
+  cost analysis; the instrumented window runs unchunked so phases attribute
+  serial cost, and its sum exceeds the pipelined iteration time;
+- MFU from compiled flops (part2a+part2b) vs the chip's bf16 peak.
 
 Baseline anchor: the reference publishes no wall-clock numbers (BASELINE.md).
 The recorded estimate for its per-GPU training rate at this config is ~12
@@ -161,7 +161,7 @@ def main():
     # Runs UNCHUNKED (FEDICRA_SPLIT_CHUNKS=1) so the serial phases are
     # cleanly attributable — under the production chunked pipeline the
     # timers would only see overlap residuals. One extra (persistent-
-    # cached) part1 signature; throughput above used the production path.
+    # cached) part2a signature; throughput above used the production path.
     phases = {}
     cost = {}
     is_split = getattr(round_fn, "is_split", False)

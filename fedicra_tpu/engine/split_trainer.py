@@ -4,17 +4,17 @@ Some PJRT runtimes (notably tunneled dev TPUs) cannot run host callbacks
 inside jit, which blocks the pure_callback tree-filter offload. This trainer
 achieves the same computation with an explicit pipelined step:
 
-  part1 (jit): the main forward; returns softmax probs + aux heads (same rng
-          as the backward parts, so activations match). Aux heads ship at the
-          full output resolution by default (resize is free on device); set
-          FEDICRA_AUX_SHIP=native to ship them at decoder-native resolution
-          instead — ~40% smaller transfers, with the host paying the bilinear
-          upsample + resize-adjoint pullback (the host side is shape-driven
-          and handles both).
-  part2a (jit): dispatched immediately after part1 — value_and_grad of every
-          tree-independent term (partial CE + gated CRF + cross-client
-          contrast). It depends only on (params, batch); the device chews on
-          it WHILE the host runs the tree chain, hiding the host time.
+  part2a (jit): value_and_grad of every tree-independent term (partial CE +
+          gated CRF + cross-client contrast), which ALSO returns the softmax
+          probs + aux heads its forward already computed, packed for the
+          host transfer. (Until round 4 a separate part1 forward produced
+          the transfer tensors; that was a whole redundant forward plus one
+          extra tunnel dispatch per iteration — VERDICT r3 item 1.) Aux
+          heads ship at the full output resolution by default (resize is
+          free on device); set FEDICRA_AUX_SHIP=native to ship them at
+          decoder-native resolution instead — ~40% smaller transfers, with
+          the host paying the bilinear upsample + resize-adjoint pullback
+          (the host side is shape-driven and handles both).
   host:   the native C++ multi-scale tree loss forward + analytic cotangents
           (losses/tree_energy_host.py) on (prob, image, aux, ROI).
   part2b (jit): the tree term's gradient via the *injected linear* objective
@@ -29,8 +29,8 @@ Transfer pipelining: in the packed (aux_full) mode the device<->host tensors
 move in FEDICRA_SPLIT_CHUNKS batch chunks (default 2 on accelerators). A
 single host worker runs the native chain on chunk k while chunk k+1 is still
 on the wire and each cotangent chunk uploads as soon as it is ready, so most
-of the transfer time hides behind the (CPU-bound) chain and most of the
-chain behind part2a. Bit-identical to the unchunked call
+of the host-chain time hides behind the wire. Bit-identical to the unchunked
+call
 (tests/test_split_chunked.py): images are independent, the ROI normalizer
 spans the full batch, per-image losses re-sum in image order.
 
@@ -70,10 +70,9 @@ from .trainer import ClientState, _adamw, _masked_opt, poly_lr
 Array = jax.Array
 
 # Opt-in instrumentation (FEDICRA_SPLIT_TIMING=1): per-iteration wall-clock
-# of each pipeline phase, with value-fetch syncs inserted between phases.
-# The syncs defeat the part2a/host overlap, so instrumented iterations are
-# SLOWER than production ones — bench.py therefore times throughput windows
-# uninstrumented and runs one extra instrumented window for the breakdown.
+# of each pipeline phase. bench.py runs the instrumented window unchunked
+# (FEDICRA_SPLIT_CHUNKS=1) so the fetch/chain/upload phases attribute serial
+# cost rather than overlap residuals; production windows run uninstrumented.
 _PHASE_LOG: list = []
 _COST_ANALYSIS: dict = {}
 
@@ -176,29 +175,19 @@ def make_split_round_fn(model, cfg: TrainConfig):
     aux_full = os.environ.get("FEDICRA_AUX_SHIP", "full") != "native"
     n_chunks = _n_transfer_chunks() if aux_full else 1
 
-    @jax.jit
-    def part1(params, batch_stats, k, images, cid):
-        _, kd = jax.random.split(k)
-        out, _ = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images,
-            train=True,
-            emb_idx=jnp.broadcast_to(cid, (images.shape[0],)),
-            rngs={"dropout": kd},
-            mutable=["batch_stats"],
-        )
-        probs = jax.nn.softmax(out["logits"], axis=-1)
-        aux = list(out["aux"])
+    def _pack_ship(probs, aux):
+        """Pack the host-transfer tensors from an already-computed forward.
+
+        aux_full: (probs, aux1..3) concatenate into ONE (B,H,W,4C) array per
+        transfer chunk — tunneled runtimes pay a round-trip per fetched
+        array, so four separate device->host fetches serialize four RTTs
+        (measured ~2s/iter of the round-3 bench); chunking along batch
+        (default 2) then lets the host chain start on chunk 0 while chunk 1
+        is still on the wire (_n_transfer_chunks)."""
         if aux_full:
-            # pack (probs, aux1..3) into ONE (B,H,W,4C) array per transfer
-            # chunk: tunneled runtimes pay a round-trip per fetched array, so
-            # four separate device->host fetches serialize four RTTs
-            # (measured ~2s/iter of the round-3 bench); chunking along batch
-            # (default 2) then lets the host chain start on chunk 0 while
-            # chunk 1 is still on the wire (_n_transfer_chunks)
             hw = (probs.shape[1], probs.shape[2])
-            aux = [_resize_bilinear(a, hw) for a in aux]
-            packed = jnp.concatenate([probs, *aux], axis=-1).astype(tdtype)
+            auxr = [_resize_bilinear(a, hw) for a in aux]
+            packed = jnp.concatenate([probs, *auxr], axis=-1).astype(tdtype)
             return tuple(
                 packed[lo:hi]
                 for lo, hi in _chunk_bounds(packed.shape[0], n_chunks)
@@ -237,10 +226,13 @@ def make_split_round_fn(model, cfg: TrainConfig):
         """Every term that does NOT need the host tree results."""
         images, labels = batch["image"], batch["label"]
         rng, kd = jax.random.split(k)
-        logits, _, hm_own, new_stats = _forward(
+        logits, aux, hm_own, new_stats = _forward(
             params, batch_stats, kd, images, cid
         )
         probs = jax.nn.softmax(logits, axis=-1)
+        # the host-transfer tensors come from THIS forward (no separate
+        # part1 dispatch); they ride along as non-differentiated aux output
+        ship = _pack_ship(probs, aux)
         loss_ce = partial_cross_entropy(logits, labels, cfg.num_classes)
         metrics = {"loss_ce": loss_ce}
         loss = loss_ce
@@ -260,14 +252,14 @@ def make_split_round_fn(model, cfg: TrainConfig):
             metrics["loss_lc"] = loss_lc
         vis_idx = min(1, logits.shape[0] - 1)
         metrics["vis_pred"] = jnp.argmax(logits[vis_idx], -1).astype(jnp.int32)
-        return loss, (new_stats, metrics)
+        return loss, (new_stats, metrics, ship)
 
     @jax.jit
     def part2a(params, stats, k, batch, cid):
-        (loss_a, (new_stats, metrics)), grads_a = jax.value_and_grad(
+        (loss_a, (new_stats, metrics, ship)), grads_a = jax.value_and_grad(
             loss_a_fn, has_aux=True
         )(params, stats, k, batch, cid)
-        return grads_a, new_stats, loss_a, metrics
+        return grads_a, new_stats, loss_a, metrics, ship
 
     def _unpack_cots(cots):
         """Cotangents arrive packed as (Bc,H,W,4C) batch chunks in aux_full
@@ -283,11 +275,11 @@ def make_split_round_fn(model, cfg: TrainConfig):
 
     def loss_tree_fn(params, batch_stats, k, batch, cid, cots):
         """The injected tree term: gradient == host cotangents. The aux
-        cotangents arrive at whatever resolution part1 shipped (full by
+        cotangents arrive at whatever resolution part2a shipped (full by
         default; decoder-native under FEDICRA_AUX_SHIP=native, where the host
         pulls them back through the resize adjoint) — either way
         <aux_i, d_i> here equals <resize(aux_i), d_i_fullres> by linearity,
-        so the resize below mirrors part1's."""
+        so the resize below mirrors part2a's."""
         images = batch["image"]
         dp, d1, d2, d3 = _unpack_cots(cots)
         _, kd = jax.random.split(k)
@@ -363,7 +355,7 @@ def make_split_round_fn(model, cfg: TrainConfig):
         for i in range(n_iters):
             if verbose:
                 print(f"[split {time.strftime('%H:%M:%S')} it={it} "
-                      f"i={i}/{n_iters}] dispatch part1"
+                      f"i={i}/{n_iters}] dispatch part2a"
                       + (" (may compile)" if i == 0 else ""), flush=True)
             batch = {
                 "image": batches["image"][i],
@@ -371,20 +363,23 @@ def make_split_round_fn(model, cfg: TrainConfig):
             }
             rng, k = jax.random.split(rng)
             t0 = time.perf_counter() if timing else 0.0
-            p1_out = part1(params, stats, k, batch["image"], cid_arr)
+            # one dispatch computes the tree-independent grads AND the
+            # host-transfer tensors from the same forward (no part1)
+            grads_a, new_stats, loss_a, metrics_a, p1_out = part2a(
+                params, stats, k, batch, cid_arr
+            )
             img_np = images_np[i]
             low = img_np if img_np.shape[-1] == 3 else np.repeat(img_np, 3, -1)
             rois = (labels_np[i] == cfg.num_classes).astype(np.float32)
             if aux_full:
                 # Pipelined fetch -> host chain -> upload at chunk
-                # granularity. Transfers are queued first (tunneled runtimes
-                # serialize transfers with compute, so fetching after
-                # dispatching part2a would block behind it); a single worker
-                # thread runs the native chain on chunk k while chunk k+1 is
-                # still in flight, and each cotangent chunk uploads as soon
-                # as it is ready — while the worker filters the next chunk
-                # and the device chews on part2a. The ROI normalizer and the
-                # per-image loss sum reproduce the unchunked call bit-exactly.
+                # granularity. The chunk fetches block on part2a's compute
+                # (they are its outputs); after that a single worker thread
+                # runs the native chain on chunk k while chunk k+1 is still
+                # in flight, and each cotangent chunk uploads as soon as it
+                # is ready — while the worker filters the next chunk. The
+                # ROI normalizer and the per-image loss sum reproduce the
+                # unchunked call bit-exactly.
                 # NOTE: no copy_to_host_async here — on the tunneled runtime
                 # it takes a slow path with multi-second latency spikes
                 # (measured 17-08-2026: async-first fetch of two 21MB chunks
@@ -434,14 +429,6 @@ def make_split_round_fn(model, cfg: TrainConfig):
                         inq.put(None)  # always release the worker
                     if timing:
                         t1 = time.perf_counter()
-                        _capture_cost("part1", part1, params, stats, k,
-                                      batch["image"], cid_arr)
-                    grads_a, new_stats, loss_a, metrics_a = part2a(
-                        params, stats, k, batch, cid_arr
-                    )
-                    if timing:
-                        float(np.asarray(loss_a))  # sync (breaks the overlap)
-                        t2 = time.perf_counter()
                         _capture_cost("part2a", part2a, params, stats, k,
                                       batch, cid_arr)
                     loss_parts = [None] * len(bounds)
@@ -472,14 +459,6 @@ def make_split_round_fn(model, cfg: TrainConfig):
                 )
                 if timing:
                     t1 = time.perf_counter()
-                    _capture_cost("part1", part1, params, stats, k,
-                                  batch["image"], cid_arr)
-                grads_a, new_stats, loss_a, metrics_a = part2a(
-                    params, stats, k, batch, cid_arr
-                )
-                if timing:
-                    float(np.asarray(loss_a))  # sync (breaks the overlap)
-                    t2 = time.perf_counter()
                     _capture_cost("part2a", part2a, params, stats, k, batch,
                                   cid_arr)
                 tree_val, dpn, d1n, d2n, d3n = multi_scale_tree_loss_host(
@@ -526,9 +505,8 @@ def make_split_round_fn(model, cfg: TrainConfig):
                 _capture_cost("part2b", part2b, params, stats, opt_for_cost,
                               *args)
                 _PHASE_LOG.append({
-                    "part1_fetch": t1 - t0,
-                    "part2a": t2 - t1,
-                    "host_chain": t3 - t2,
+                    "part2a_fetch": t1 - t0,
+                    "host_chain": t3 - t1,
                     "part2b_upload": time.perf_counter() - t3,
                 })
             all_metrics.append(m)
