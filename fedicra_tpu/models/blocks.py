@@ -236,6 +236,10 @@ class DSNHead(nn.Module):
 
     num_classes: int
     hidden: int = 512
+    # reference hardcodes Dropout2d(0.1) (unet.py:264-270); configurable so
+    # cross-framework trajectory tests can zero it (torch and flax dropout
+    # RNG streams cannot be matched)
+    drop_rate: float = 0.1
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -290,10 +294,11 @@ class DSNHead(nn.Module):
             if not self.is_initializing():
                 ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
                 ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            keep_p = 1.0 - self.drop_rate
             keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 0.9, (b, 1, 1, hid)
+                self.make_rng("dropout"), keep_p, (b, 1, 1, hid)
             )
-            drop_scale = keep.astype(x.dtype) / 0.9
+            drop_scale = keep.astype(x.dtype) / keep_p
         else:
             mean, var = ra_mean.value, ra_var.value
             drop_scale = jnp.ones((b, 1, 1, hid), x.dtype)

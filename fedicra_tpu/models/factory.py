@@ -49,6 +49,7 @@ def net_factory(
     client_id: int = 0,
     pcs_num: int = 1,
     dropout=None,
+    dsn_dropout=None,
 ) -> Any:
     if net_type == "unet":
         if dropout is not None:
@@ -84,6 +85,8 @@ def net_factory(
         )
     if net_type == "unet_lc_multihead":
         kw = dict(dropout=tuple(dropout)) if dropout is not None else {}
+        if dsn_dropout is not None:
+            kw["dsn_dropout"] = float(dsn_dropout)
         return UNetLCMultiHead(
             in_chns=in_chns,
             num_classes=class_num,

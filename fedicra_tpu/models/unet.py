@@ -187,6 +187,7 @@ class DecoderMultiHead(nn.Module):
     num_heads: int = 3
     features: Sequence[int] = DEFAULT_FEATURES
     bilinear: bool = True
+    dsn_dropout: float = 0.1
 
     @nn.compact
     def __call__(self, feature, *, train: bool):
@@ -201,9 +202,11 @@ class DecoderMultiHead(nn.Module):
         sources = [d2, d3, d4]
         for i in range(self.num_heads):
             aux.append(
-                DSNHead(self.num_classes, name=f"dsn_head{i + 1}")(
-                    sources[i], train=train
-                )
+                DSNHead(
+                    self.num_classes,
+                    drop_rate=self.dsn_dropout,
+                    name=f"dsn_head{i + 1}",
+                )(sources[i], train=train)
             )
         return {"logits": logits, "de": [d1, d2, d3, d4], "aux": aux}
 
@@ -422,6 +425,7 @@ class UNetLCMultiHead(nn.Module):
     client_id: int = 0
     pcs_num: int = 1
     dropout: Sequence[float] = DEFAULT_DROPOUT
+    dsn_dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False, emb_idx=None):
@@ -432,9 +436,12 @@ class UNetLCMultiHead(nn.Module):
             dropout=self.dropout,
             name="encoder",
         )(x, train=train, emb_idx=emb_idx)
-        out = DecoderMultiHead(self.num_classes, num_heads=3, name="decoder")(
-            feature, train=train
-        )
+        out = DecoderMultiHead(
+            self.num_classes,
+            num_heads=3,
+            dsn_dropout=self.dsn_dropout,
+            name="decoder",
+        )(feature, train=train)
         out["features"] = feature
         out["heatmaps"] = heatmaps
         return out

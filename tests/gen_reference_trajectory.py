@@ -60,6 +60,38 @@ FEDICRA_CONFIG = dict(
 )
 
 
+# Tree-LIVE FedICRA trajectory (VERDICT r3 item 3): the same flagship
+# machinery with tree_loss_weight=0.1 — the MScaleRecurve tree term computed
+# by the dense O(V^2) path-product oracle in torch (torch_mirror.py) against
+# the JAX lifting primitives. Tiny 16^2 images keep the dense oracle
+# tractable; dsn_dropout=0 so the aux-head path is deterministic across
+# frameworks. High-tree MSTs derive from aux logits, so framework fp noise
+# can in principle flip near-tied edges — the trajectory tolerance absorbs
+# the (tiny, weight-0.1-scaled) effect.
+FEDICRA_TREE_CONFIG = dict(
+    img_size=16,
+    batch_size=2,
+    in_chns=3,
+    num_classes=3,
+    num_clients=2,
+    rounds=4,
+    iters=3,
+    rep_iters=1,
+    base_lr=0.01,
+    max_iterations=1000,
+    alpha=1.0,
+    gatecrf_weight=0.1,
+    gatecrf_radius=5,
+    tree_weight=0.1,
+    tree_sigma=0.02,
+    dsn_dropout=0.0,
+    ala_skip_iters=6,
+    ala_num_batches=2,
+    seed=2022,
+    data_seed=123,
+)
+
+
 def make_fedicra_batches(cfg=FEDICRA_CONFIG):
     rng = np.random.default_rng(cfg["data_seed"])
     K, R, I = cfg["num_clients"], cfg["rounds"], cfg["iters"]
@@ -104,7 +136,7 @@ def make_jax_fedicra_model_and_state(cfg=FEDICRA_CONFIG):
     ).replace(
         num_clients=cfg["num_clients"],
         seed=cfg["seed"],
-        tree_loss_weight=0.0,
+        tree_loss_weight=cfg.get("tree_weight", 0.0),
         alpha=cfg["alpha"],
         gatecrf_weight=cfg["gatecrf_weight"],
         gatecrf_radius=cfg["gatecrf_radius"],
@@ -117,6 +149,7 @@ def make_jax_fedicra_model_and_state(cfg=FEDICRA_CONFIG):
         num_clients=cfg["num_clients"],
         client_id=0,
         dropout=(0.0,) * 5,
+        dsn_dropout=cfg.get("dsn_dropout"),
     )
     state = init_client_state(model, tc)
     return model, tc, state
@@ -124,14 +157,15 @@ def make_jax_fedicra_model_and_state(cfg=FEDICRA_CONFIG):
 
 def _mirrored_param_abssum(params):
     """abs-sum over the params the torch mirror registers (everything except
-    the frozen PCS projections and the DSN aux heads)."""
+    the frozen PCS projections — including the DSN aux heads, which under
+    tree-weight-0 stay bit-identical frozen values on both sides)."""
     from flax import traverse_util
 
     from fedicra_tpu.models.params_filters import is_pcs_path
 
     tot = 0.0
     for path, leaf in traverse_util.flatten_dict(params).items():
-        if is_pcs_path(path) or any(s.startswith("dsn_head") for s in path):
+        if is_pcs_path(path):
             continue
         tot += float(np.abs(np.asarray(leaf)).sum())
     return tot
@@ -412,6 +446,58 @@ def main():
         ala_skip_iters=FEDICRA_CONFIG["ala_skip_iters"],
     )
 
+    # Tree-LIVE FedICRA oracle (VERDICT r3 item 3): same machinery plus the
+    # MScaleRecurve tree term via the dense path-product filter in torch
+    tmodel, ttc, tstate = make_jax_fedicra_model_and_state(FEDICRA_TREE_CONFIG)
+    ttrain, tala = make_fedicra_batches(FEDICRA_TREE_CONFIG)
+    tp_np = jax.tree.map(np.asarray, tstate.params)
+    ts_np = jax.tree.map(np.asarray, tstate.batch_stats)
+
+    tm_tree = TorchFedICRAUNet(
+        tp_np, ts_np, FEDICRA_TREE_CONFIG["num_clients"], 1
+    )
+    x = ttrain[0]["image"][0, 0]
+    tout = tmodel.apply(
+        {"params": tstate.params, "batch_stats": tstate.batch_stats},
+        x, train=False, emb_idx=np.ones((x.shape[0],), np.int32),
+    )
+    tt_logits, _, tt_aux = tm_tree.forward(
+        x, emb_idx=1, train=False, return_aux=True
+    )
+    tree_fwd_err = float(
+        np.abs(
+            np.asarray(tout["logits"])
+            - tt_logits.detach().numpy().transpose(0, 2, 3, 1)
+        ).max()
+    )
+    aux_err = max(
+        float(
+            np.abs(
+                np.asarray(tout["aux"][i])
+                - tt_aux[i].detach().numpy().transpose(0, 2, 3, 1)
+            ).max()
+        )
+        for i in range(3)
+    )
+    assert tree_fwd_err < 1e-4 and aux_err < 1e-4, (tree_fwd_err, aux_err)
+
+    tree_losses, tree_global = run_torch_fedicra_ours(
+        tp_np, ts_np, ttrain, tala,
+        num_classes=FEDICRA_TREE_CONFIG["num_classes"],
+        num_clients=FEDICRA_TREE_CONFIG["num_clients"],
+        base_lr=FEDICRA_TREE_CONFIG["base_lr"],
+        max_iterations=FEDICRA_TREE_CONFIG["max_iterations"],
+        rounds=FEDICRA_TREE_CONFIG["rounds"],
+        iters=FEDICRA_TREE_CONFIG["iters"],
+        rep_iters=FEDICRA_TREE_CONFIG["rep_iters"],
+        alpha=FEDICRA_TREE_CONFIG["alpha"],
+        gatecrf_weight=FEDICRA_TREE_CONFIG["gatecrf_weight"],
+        radius=FEDICRA_TREE_CONFIG["gatecrf_radius"],
+        ala_skip_iters=FEDICRA_TREE_CONFIG["ala_skip_iters"],
+        tree_weight=FEDICRA_TREE_CONFIG["tree_weight"],
+        tree_sigma=FEDICRA_TREE_CONFIG["tree_sigma"],
+    )
+
     golden = {
         "config": CONFIG,
         "forward_parity_max_abs_err": fwd_err,
@@ -426,6 +512,13 @@ def main():
         "fedicra_final_param_abssum": float(
             sum(np.abs(p).sum() for p in fed_global)
         ),
+        "fedicra_tree_config": FEDICRA_TREE_CONFIG,
+        "fedicra_tree_forward_parity_max_abs_err": tree_fwd_err,
+        "fedicra_tree_aux_parity_max_abs_err": aux_err,
+        "fedicra_tree_losses": tree_losses,
+        "fedicra_tree_final_param_abssum": float(
+            sum(np.abs(p).sum() for p in tree_global)
+        ),
         "generator": "tests/gen_reference_trajectory.py (torch mirror of "
         "flower_pCE_2D.py:51-181, Unet_pCE.py:63-244, and the FedICRA "
         "machinery: …_Ours.py:52-206 minus the tree term + "
@@ -438,6 +531,8 @@ def main():
         print(f"  client {cid} losses: {[round(l, 4) for l in ls]}")
     for cid, ls in enumerate(fed_losses):
         print(f"  fedicra client {cid} losses: {[round(l, 4) for l in ls]}")
+    for cid, ls in enumerate(tree_losses):
+        print(f"  fedicra-tree client {cid} losses: {[round(l, 4) for l in ls]}")
 
 
 if __name__ == "__main__":

@@ -192,12 +192,16 @@ class TorchFedICRAUNet:
     LCEncoder with one PCS module at the bottleneck + bilinear decoder +
     3x3 out conv (reference networks/unet.py:701-722, 103-203).
 
-    The three DSN aux heads are omitted: under the ours-minus-tree oracle
-    objective (tree weight 0) their outputs never enter the loss, their
-    parameters receive no updates on the JAX side (engine/trainer.py
-    excludes them from the optimizer in that configuration, matching torch's
-    None-grad skip), and their BN stats feed nothing — so they cannot affect
-    the mirrored trajectory.
+    The three DSN aux heads are converted when present in the flax tree and
+    computed only under ``forward(..., return_aux=True)`` (the tree-live
+    oracle). Under the ours-minus-tree objective (tree weight 0) they never
+    enter the loss: their parameters receive no updates on the JAX side
+    (engine/trainer.py excludes them from the optimizer in that
+    configuration, matching torch's None-grad skip), and their BN running
+    stats feed nothing trainable — train-mode forwards normalize with batch
+    statistics, so running-stat drift (e.g. from the contrast's foreign
+    forwards, which this mirror skips the aux heads in) never reaches any
+    mirrored loss or the param checksum.
 
     PCS parameters are held as plain tensors with requires_grad=False:
     the reference stores PCS modules in an unregistered Python list
@@ -277,9 +281,43 @@ class TorchFedICRAUNet:
             "k": self._reg(ko, "decoder.out_conv.weight"),
             "b": self._reg(bo, "decoder.out_conv.bias"),
         }
+        # DSN aux heads (unet.py:264-270): Conv3x3(512)+BN+ReLU+Dropout2d
+        # +Conv1x1 no-bias. Names deliberately avoid the 'out_conv'/'up*'
+        # substrings so they are neither head-phase nor ALA-gated params,
+        # mirroring fedicra_tpu.models.params_filters semantics.
+        for i in (1, 2, 3):
+            hd = dec.get(f"dsn_head{i}")
+            if hd is None:
+                continue
+            pre = f"decoder.dsn_head{i}"
+            kk = torch.tensor(_np(hd["conv_kernel"]).transpose(3, 2, 0, 1))
+            ok = torch.tensor(_np(hd["out_kernel"]).transpose(3, 2, 0, 1))
+            tree["decoder"][f"dsn_head{i}"] = {
+                "k": self._reg(kk, f"{pre}.conv.weight"),
+                "b": self._reg(
+                    torch.tensor(_np(hd["conv_bias"])), f"{pre}.conv.bias"
+                ),
+                "scale": self._reg(
+                    torch.tensor(_np(hd["bn_scale"])), f"{pre}.bn.weight"
+                ),
+                "bias": self._reg(
+                    torch.tensor(_np(hd["bn_bias"])), f"{pre}.bn.bias"
+                ),
+                "ok": self._reg(ok, f"{pre}.out.weight"),
+            }
         return tree
 
-    _convert_stats = TorchUNet.__dict__["_convert_stats"]
+    def _convert_stats(self, s):
+        out = TorchUNet.__dict__["_convert_stats"](self, s)
+        for i in (1, 2, 3):
+            hd = s["decoder"].get(f"dsn_head{i}")
+            if hd is not None:
+                out["decoder"][f"dsn_head{i}"] = {
+                    "mean": torch.tensor(_np(hd["mean"])),
+                    "var": torch.tensor(_np(hd["var"])),
+                }
+        return out
+
     _cba = TorchUNet.__dict__["_cba"]
     _block = TorchUNet.__dict__["_block"]
     export_flat = TorchUNet.__dict__["export_flat"]
@@ -301,13 +339,17 @@ class TorchFedICRAUNet:
         hmap = torch.sigmoid(fc2(torch.cat([avg, e], 1)) + fc2(torch.cat([mx, e], 1)))
         return x * hmap + x, hmap
 
-    def forward(self, x_nhwc, emb_idx=None, train=True, stats=None):
-        """Returns (logits NCHW, bottleneck heatmap (B,C,1,1)).
+    def forward(self, x_nhwc, emb_idx=None, train=True, stats=None,
+                return_aux=False):
+        """Returns (logits NCHW, bottleneck heatmap (B,C,1,1))[, aux list].
 
         Reference quirk (unet.py:186-189): emb_idx of None *or 0* falls back
         to the model's own client id. ``stats``: override the BN running
         stats dict (train-mode F.batch_norm updates it in place — pass a
         clone to discard updates, e.g. for the ALA gate-learning forwards).
+        ``return_aux``: also compute the DSN heads on (de2, de3, de4) and
+        return their logits (decoder-native resolutions), matching
+        DecoderMultiHead (fedicra unet.py:179-208 / reference :288-398).
         """
         if emb_idx is None or emb_idx == 0:
             emb_idx = self.client_id
@@ -324,6 +366,7 @@ class TorchFedICRAUNet:
         feats[4], hmap = self._pcs_forward(feats[4], emb)
         d, ds = self.tree["decoder"], stats["decoder"]
         x = feats[4]
+        des = []
         for i, skip in zip(range(1, 5), (feats[3], feats[2], feats[1], feats[0])):
             up = d[f"up{i}"]
             x = F.conv2d(x, up["k1x1"], up["b1x1"])
@@ -332,8 +375,23 @@ class TorchFedICRAUNet:
             )
             x = torch.cat([skip, x], dim=1)
             x = self._block(x, up["block"], ds[f"up{i}"], train)
+            des.append(x)
         logits = F.conv2d(x, d["out_conv"]["k"], d["out_conv"]["b"], padding=1)
-        return logits, hmap
+        if not return_aux:
+            return logits, hmap
+        aux = []
+        for i, src in enumerate((des[1], des[2], des[3]), start=1):
+            p, st = d[f"dsn_head{i}"], stats["decoder"][f"dsn_head{i}"]
+            h = F.conv2d(src, p["k"], p["b"], padding=1)
+            h = F.batch_norm(
+                h, st["mean"], st["var"], p["scale"], p["bias"],
+                training=train, momentum=0.1, eps=1e-5,
+            )
+            h = F.relu(h)
+            # Dropout2d(0.1) in the reference; parity configs run the flax
+            # model with dsn_dropout=0, so no mask here (RNG can't match)
+            aux.append(F.conv2d(h, p["ok"]))
+        return logits, hmap, aux
 
     def clone_stats(self):
         def walk(d):
@@ -367,19 +425,200 @@ def gated_crf_torch(y_soft, img, radius, sigma_xy=6.0, sigma_rgb=0.1):
     return (kern.sum() - (prod * y_soft).sum()) / float(B * H * W)
 
 
+# --- dense tree-energy oracle (torch) ---------------------------------------
+#
+# An O(V^2) pairwise path-product tree filter, independent of every repo
+# implementation (the JAX lifting primitives, the host C++ two-pass, the
+# split-step injection): M[i,j] = prod of per-edge weights along the tree
+# path i..j, y = (M x)/(M 1) — the definition refine_forward implements
+# (reference refine.cu:201-249). Differentiable through x always and through
+# the edge weights for high-level trees (functions/refine.py:32-38).
+
+
+def _kruskal_bfs_parent(feats, h, w):
+    """MST of the 4-connected grid under the (||dfeat||^2 + 1, edge index)
+    strict total order (== ops/mst.boruvka_mst's tie-break; the MST is unique
+    under a strict order, so Kruskal and Boruvka agree), BFS-rooted at vertex
+    0. feats: [V, D] float32 numpy (detached). Returns parent int64 [V] with
+    parent[0] == 0. Edge order: vertical then horizontal (ops/mst.grid_edges).
+    """
+    V = h * w
+    idx = np.arange(V, dtype=np.int32).reshape(h, w)
+    eu = np.concatenate([idx[:-1, :].reshape(-1), idx[:, :-1].reshape(-1)])
+    ev = np.concatenate([idx[1:, :].reshape(-1), idx[:, 1:].reshape(-1)])
+    wts = ((feats[eu] - feats[ev]) ** 2).sum(-1).astype(np.float32) + np.float32(1.0)
+    order = np.lexsort((np.arange(len(wts)), wts))
+    uf = np.arange(V)
+
+    def find(a):
+        root = a
+        while uf[root] != root:
+            root = uf[root]
+        while uf[a] != root:
+            uf[a], a = root, uf[a]
+        return root
+
+    adj = [[] for _ in range(V)]
+    taken = 0
+    for e in order:
+        ra, rb = find(int(eu[e])), find(int(ev[e]))
+        if ra != rb:
+            uf[ra] = rb
+            adj[int(eu[e])].append(int(ev[e]))
+            adj[int(ev[e])].append(int(eu[e]))
+            taken += 1
+            if taken == V - 1:
+                break
+    parent = np.zeros(V, dtype=np.int64)
+    parent[0] = 0
+    seen = np.zeros(V, dtype=bool)
+    seen[0] = True
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    parent[v] = u
+                    nxt.append(v)
+        frontier = nxt
+    assert seen.all(), "MST does not span the grid"
+    return parent
+
+
+def _dense_tree_structure(parent):
+    """Static (weight-independent) structure for the dense filter: returns
+    (P float64 [V,V] ancestor-or-self indicator, L int64 [V,V] LCA index).
+    With g = P @ logw (logw[root] = 0 since its self-edge has zero feature
+    difference), the path-sum between i and j is g[i] + g[j] - 2 g[L[i,j]].
+    """
+    V = len(parent)
+    anc = np.zeros((V, V), dtype=bool)
+    depth = np.zeros(V, dtype=np.int64)
+    for v in range(V):
+        u = v
+        d = 0
+        while True:
+            anc[v, u] = True
+            if parent[u] == u:
+                break
+            u = parent[u]
+            d += 1
+        depth[v] = d
+    L = np.empty((V, V), dtype=np.int64)
+    for i in range(V):
+        common = anc & anc[i]  # [V, V]: common[j, u] = u ancestor of both
+        L[i] = np.where(common, depth[None, :], -1).argmax(1)
+    return anc.astype(np.float64), L
+
+
+def dense_tree_filter_torch(x, embed, parent, struct, *, sigma, low_tree):
+    """y = (M x)/(M 1) over the rooted tree, fp64 internals (oracle role).
+
+    x: [V, C] torch; embed: [V, D] torch guide; edge weight to parent is
+    exp(-||d||^2 / sigma) for the low tree (detached, like
+    functions/refine.py:32-38) and exp(-||d||^2) for high trees
+    (weight-gradients live).
+    """
+    P, L = struct
+    pt = torch.as_tensor(parent)
+    d2 = ((embed - embed[pt]) ** 2).sum(-1).double()  # root entry == 0
+    logw = -d2 / sigma if low_tree else -d2
+    if low_tree:
+        logw = logw.detach()
+    g = torch.as_tensor(P) @ logw  # [V]
+    S = g[:, None] + g[None, :] - 2.0 * g[torch.as_tensor(L)]
+    M = torch.exp(S)
+    num = M @ x.double()
+    den = (M @ torch.ones(x.shape[0], 1, dtype=torch.float64))
+    return (num / den).float()
+
+
+def mscale_recurve_tree_loss_torch(
+    logits, img, aux1, aux2, aux3, rois, weight, *, sigma=0.02
+):
+    """MScaleRecurveTreeEnergyLoss (flower_common.py:756-818) on the dense
+    oracle filter: low-level filtering of the softmax probs guided by the
+    (detached) image, then the chained high-level refinements guided by the
+    three resized aux logits; loss = weight * sum(ROI |prob - AS_3|)/sum(ROI).
+
+    logits/aux: NCHW torch; img: NCHW (already at logits resolution);
+    rois: [B, H, W] float torch.
+    """
+    B, C, H, W = logits.shape
+    prob = torch.softmax(logits, dim=1)
+    low = img.detach()
+    highs = [
+        F.interpolate(a, size=(H, W), mode="bilinear", align_corners=False)
+        for a in (aux1, aux2, aux3)
+    ]
+
+    def flat(t_b):  # [C,H,W] -> [V, C] row-major over (H, W)
+        return t_b.permute(1, 2, 0).reshape(H * W, -1)
+
+    total = logits.new_zeros(())
+    for b in range(B):
+        pb = flat(prob[b])
+        lowb = flat(low[b])
+        parent = _kruskal_bfs_parent(
+            lowb.detach().numpy().astype(np.float32), H, W
+        )
+        cur = dense_tree_filter_torch(
+            pb, lowb, parent, _dense_tree_structure(parent),
+            sigma=sigma, low_tree=True,
+        )
+        for hf in highs:
+            hb = flat(hf[b])
+            parent_h = _kruskal_bfs_parent(
+                hb.detach().numpy().astype(np.float32), H, W
+            )
+            cur = dense_tree_filter_torch(
+                cur, hb, parent_h, _dense_tree_structure(parent_h),
+                sigma=sigma, low_tree=False,
+            )
+        total = total + (
+            rois[b][:, :, None] * (prob[b].permute(1, 2, 0)
+                                   - cur.reshape(H, W, C)).abs()
+        ).sum()
+    n = rois.sum()
+    loss = total / torch.clamp(n, min=1.0) if float(n) > 0 else total
+    return weight * loss
+
+
 def _ours_minus_tree_loss(model, img, lab, num_classes, alpha,
-                          gatecrf_weight, radius):
-    """One training iteration's loss (…_Ours.py:110-164 with the tree term
-    ablated): pCE + 0.1*gatedCRF + alpha*loss_lc, with the contrast's K-1
+                          gatecrf_weight, radius, tree_weight=0.0,
+                          tree_sigma=0.02):
+    """One training iteration's loss (…_Ours.py:110-164): pCE + tree_weight *
+    MScaleRecurveTree + 0.1*gatedCRF + alpha*loss_lc, with the contrast's K-1
     foreign no-grad forwards run in train mode AFTER the main forward — each
     updates the BN running stats in place, exactly the reference's
-    sequential stat threading."""
-    logits, hmap = model.forward(img, train=True)
+    sequential stat threading. tree_weight=0 (the original oracle config)
+    skips the tree term and the aux-head computation, matching
+    engine/objective.py:132-137."""
+    if tree_weight:
+        logits, hmap, aux = model.forward(img, train=True, return_aux=True)
+    else:
+        logits, hmap = model.forward(img, train=True)
     probs = torch.softmax(logits, dim=1)
     loss_ce = F.cross_entropy(
         logits, torch.as_tensor(_np(lab)).long(), ignore_index=num_classes
     )
     img_nchw = torch.as_tensor(_np(img).transpose(0, 3, 1, 2))
+    if tree_weight:
+        rois = torch.as_tensor(
+            (_np(lab) == num_classes).astype(np.float32)
+        )
+        three = (
+            img_nchw if img_nchw.shape[1] == 3
+            else img_nchw.repeat(1, 3, 1, 1)
+        )
+        loss_tree = mscale_recurve_tree_loss_torch(
+            logits, three, aux[0], aux[1], aux[2], rois, tree_weight,
+            sigma=tree_sigma,
+        )
+    else:
+        loss_tree = torch.zeros(())
     loss_crf = gated_crf_torch(probs, img_nchw, radius)
     loss_lc = 0.0
     for other in range(model.num_clients):
@@ -389,7 +628,8 @@ def _ours_minus_tree_loss(model, img, lab, num_classes, alpha,
             _, hm_o = model.forward(img, emb_idx=other, train=True)
         loss_lc = loss_lc + F.mse_loss(hmap, hm_o.detach())
     loss_lc = -loss_lc / (model.num_clients - 1)
-    loss = loss_ce + gatecrf_weight * loss_crf + alpha * loss_lc
+    loss = (loss_ce + loss_tree + gatecrf_weight * loss_crf
+            + alpha * loss_lc)
     return loss, float(loss_ce.detach()), float(loss_lc.detach())
 
 
@@ -502,10 +742,13 @@ def run_torch_fedicra_ours(
     gatecrf_weight,
     radius,
     ala_skip_iters,
+    tree_weight=0.0,
+    tree_sigma=0.02,
 ):
-    """The full FedICRA federated loop (ours-minus-tree) in torch: per-round
-    ALA merge + head/body alternating AdamW phases + contrast + CRF + pCE,
-    FedAvg aggregation of params and BN stats. Returns
+    """The full FedICRA federated loop in torch: per-round ALA merge +
+    head/body alternating AdamW phases + contrast + CRF + pCE (+ the dense-
+    oracle MScaleRecurve tree term when tree_weight > 0), FedAvg aggregation
+    of params and BN stats. Returns
     (losses[cid][global_iter], final global flat params, gated param count)."""
     K = num_clients
     models = [
@@ -555,7 +798,8 @@ def run_torch_fedicra_ours(
                 img = client_batches[cid]["image"][r, i]
                 lab = client_batches[cid]["label"][r, i]
                 loss, _, _ = _ours_minus_tree_loss(
-                    model, img, lab, num_classes, alpha, gatecrf_weight, radius
+                    model, img, lab, num_classes, alpha, gatecrf_weight,
+                    radius, tree_weight=tree_weight, tree_sigma=tree_sigma,
                 )
                 opt.zero_grad()
                 loss.backward()
