@@ -56,7 +56,7 @@ def _draw_fallback_dot(pred: np.ndarray) -> np.ndarray:
     return pred
 
 
-def case_metrics(pred: np.ndarray, gt: np.ndarray, max_points: int = 4096):
+def case_metrics(pred: np.ndarray, gt: np.ndarray):
     """8 offline metrics (dice, jaccard, HD95, ASSD, SE, SP, Rec, Pre)."""
     import jax.numpy as jnp
 
@@ -75,7 +75,7 @@ def case_metrics(pred: np.ndarray, gt: np.ndarray, max_points: int = 4096):
         return dict(dice=0.0, jaccard=0.0, HD95=0.0, ASSD=0.0, SE=0.0, SP=0.0,
                     Rec=0.0, Pre=0.0)
     p, g = jnp.asarray(pred), jnp.asarray(gt)
-    sd = surface_distances(p, g, max_points=max_points)
+    sd = surface_distances(p, g)
     rec = float(m_rec(p, g))
     return dict(
         dice=float(m_dice(p, g)),

@@ -327,7 +327,10 @@ def make_split_round_fn(model, cfg: TrainConfig):
         return _masked_opt(_adamw(0.0), mask).init(params)
 
     def round_fn(state: ClientState, batches: Dict[str, Array], cid):
-        from ..losses.tree_energy_host import multi_scale_tree_loss_host
+        from ..losses.tree_energy_host import (
+            multi_scale_tree_loss_host,
+            multi_scale_tree_loss_host_packed,
+        )
 
         params, stats = state.params, state.batch_stats
         it = int(state.current_iter)
@@ -400,17 +403,18 @@ def make_split_round_fn(model, cfg: TrainConfig):
                             return
                         idx, arr, lo, hi = item
                         try:
-                            res = multi_scale_tree_loss_host(
-                                arr[..., 0:C],
+                            # packed fast path: the chain consumes the
+                            # shipped (Bc,H,W,4C) array directly (bf16 rows
+                            # widen exactly in the C++ deinterleave) and
+                            # returns the cotangents re-packed for one
+                            # upload — no numpy channel-slice copies
+                            res = multi_scale_tree_loss_host_packed(
+                                arr,
                                 low[lo:hi],
-                                arr[..., C : 2 * C],
-                                arr[..., 2 * C : 3 * C],
-                                arr[..., 3 * C : 4 * C],
                                 rois[lo:hi],
                                 cfg.tree_loss_weight,
                                 recursive=tree_recursive,
                                 roi_total=n_roi,
-                                per_image=True,
                             )
                         except BaseException as e:  # propagate to main
                             res = e
@@ -423,8 +427,9 @@ def make_split_round_fn(model, cfg: TrainConfig):
                         for idx, (chk, (lo, hi)) in enumerate(
                             zip(p1_out, bounds)
                         ):
-                            inq.put((idx, np.asarray(chk, dtype=np.float32),
-                                     lo, hi))
+                            # fetch in the wire dtype; the packed native
+                            # chain widens bf16 rows itself (exact)
+                            inq.put((idx, np.asarray(chk), lo, hi))
                     finally:
                         inq.put(None)  # always release the worker
                     if timing:
@@ -441,12 +446,9 @@ def make_split_round_fn(model, cfg: TrainConfig):
                             if isinstance(res, BaseException):
                                 raise res
                             pending[idx] = res
-                        li, dpn, d1n, d2n, d3n = pending.pop(nxt)
+                        li, d_packed = pending.pop(nxt)
                         loss_parts[nxt] = li
-                        cot_parts[nxt] = jnp.asarray(
-                            np.concatenate((dpn, d1n, d2n, d3n), axis=-1),
-                            dtype=tdtype,
-                        )
+                        cot_parts[nxt] = jnp.asarray(d_packed, dtype=tdtype)
                 finally:
                     worker.join()
                 tree_val = float(np.concatenate(loss_parts).sum())

@@ -47,19 +47,17 @@ def predict_labels(model, params, batch_stats, images: Array, emb_idx=None) -> A
     return jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("num_classes", "max_points"))
-def metrics_batch(
-    preds: Array, gts: Array, num_classes: int, max_points: int = 4096
-) -> Array:
+@partial(jax.jit, static_argnames=("num_classes",))
+def metrics_batch(preds: Array, gts: Array, num_classes: int) -> Array:
     """Per-case per-class metrics. preds/gts [N,H,W] -> [N, C-1, 7]."""
 
     def per_case(pred, gt):
         rows = []
         for i in range(1, num_classes):
             if i == 1:
-                rows.append(metrics_percase(pred == 1, gt == 1, max_points))
+                rows.append(metrics_percase(pred == 1, gt == 1))
             else:
-                rows.append(metrics_percase(pred >= 1, gt >= 1, max_points))
+                rows.append(metrics_percase(pred >= 1, gt >= 1))
         return jnp.stack(rows)
 
     return jax.vmap(per_case)(preds, gts)
@@ -74,7 +72,6 @@ def evaluate_client(
     num_classes: int,
     emb_idx: Optional[int] = None,
     batch: int = 8,
-    max_points: int = 4096,
 ) -> Dict[str, float]:
     """Mean metrics over a client's val set (reference evaluate(),
     flower_common.py:122-137): per-case class-mean then case-mean."""
@@ -96,7 +93,7 @@ def evaluate_client(
         if emb_idx is not None:
             emb = jnp.full((img_j.shape[0],), emb_idx, dtype=jnp.int32)
         preds = predict_labels(model, params, batch_stats, img_j, emb_idx=emb)
-        mb = np.asarray(metrics_batch(preds, gt_j, num_classes, max_points))
+        mb = np.asarray(metrics_batch(preds, gt_j, num_classes))
         all_metrics.append(mb[: batch - pad] if pad else mb)
     m = np.concatenate(all_metrics, axis=0)  # [N, C-1, 7]
     mean_per_class = m.mean(axis=0)  # [C-1, 7]

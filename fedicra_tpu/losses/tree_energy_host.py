@@ -227,3 +227,41 @@ def multi_scale_tree_loss_host(
         for d, a in zip((d_a1, d_a2, d_a3), aux_in)
     ]
     return (loss, unflat(d_prob, c), d_aux[0], d_aux[1], d_aux[2])
+
+
+def multi_scale_tree_loss_host_packed(
+    packed: np.ndarray,  # [B,H,W,4C] f32 or bfloat16: [probs|aux1|aux2|aux3]
+    low: np.ndarray,     # [B,H,W,3] guide image, float32
+    rois: np.ndarray,    # [B,H,W]
+    weight: float,
+    *,
+    sigma: float = 0.02,
+    recursive: bool = True,
+    roi_total: float | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Packed fast path for the split trainer's aux_full mode: the device
+    ships ONE (B,H,W,4C) array (probs + full-res aux heads), this returns
+    (per_image_loss [B], d_packed float32 [B,H,W,4C]) with the cotangents in
+    the same layout for a single upload. Numerically identical to calling
+    ``multi_scale_tree_loss_host`` on the widened channel slices — bf16
+    input widens exactly, the chain is the same chain_one — but skips the
+    ~2 s/iteration of numpy strided slice/concatenate copies (measured at
+    384^2 bs12 on the 1-core dev host; tests/test_split_chunked.py pins the
+    equivalence)."""
+    from ..ops.mst import grid_edges
+    from .. import native
+
+    b, h, w, p = packed.shape
+    c = p // 4
+    V = h * w
+    eu, ev = grid_edges(h, w)
+    low_f = np.ascontiguousarray(low.reshape(b, V, low.shape[-1]), np.float32)
+    roi_b = rois.reshape(b, V).astype(np.float32)
+    n = float(roi_b.sum()) if roi_total is None else float(roi_total)
+    scale = weight / (n if n > 0 else 1.0)
+    loss, d_packed = native.tree_energy_chain_host_packed(
+        low_f, packed.reshape(b, V, p), roi_b, scale, sigma, eu, ev,
+        low_structure=_low_structure_cached(low_f, (h, w), eu, ev, sigma),
+        recursive=recursive,
+    )
+    return loss, d_packed.reshape(b, h, w, p)

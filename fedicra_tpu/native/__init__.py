@@ -317,3 +317,76 @@ def tree_energy_chain_host(
         lp, lo, lw, int(bool(recursive)),
     )
     return (loss if per_image else float(loss.sum())), d_prob, d_a1, d_a2, d_a3
+
+
+def tree_energy_chain_host_packed(
+    low: np.ndarray,     # [B,V,D] float32
+    packed: np.ndarray,  # [B,V,4C] float32 or bfloat16 (ml_dtypes)
+    roi: np.ndarray,     # [B,V]
+    scale: float,
+    sigma: float,
+    eu: np.ndarray,
+    ev: np.ndarray,
+    low_structure=None,
+    recursive: bool = True,
+):
+    """Packed-layout chain for the split trainer: ``packed`` carries
+    [probs | aux1 | aux2 | aux3] along the channel axis exactly as shipped
+    from the device (one fetch per chunk), bf16 or f32. Returns
+    (per_image_loss float32 [B], d_packed float32 [B,V,4C]) with the four
+    cotangents re-interleaved in the same layout. Numerically identical to
+    ``tree_energy_chain_host`` on the channel slices (bf16 rows are widened
+    exactly); the deinterleave/interleave runs inside the per-image C++
+    workers instead of as ~2 s/iteration of numpy strided copies (measured,
+    headline config, 1-core host)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no g++?)")
+    low = np.ascontiguousarray(low, np.float32)
+    roi = np.ascontiguousarray(roi, np.float32)
+    eu = np.ascontiguousarray(eu, np.int32)
+    ev = np.ascontiguousarray(ev, np.int32)
+    B, V, D = low.shape
+    P = packed.shape[2]
+    assert P % 4 == 0, packed.shape
+    C = P // 4
+    E = eu.shape[0]
+    if packed.dtype == np.float32:
+        packed = np.ascontiguousarray(packed)
+        is_bf16 = 0
+    else:
+        import ml_dtypes
+
+        assert packed.dtype == ml_dtypes.bfloat16, packed.dtype
+        packed = np.ascontiguousarray(packed)
+        is_bf16 = 1
+    loss = np.zeros((B,), np.float32)
+    d_packed = np.empty((B, V, P), np.float32)
+    fn = lib.tree_energy_chain_host_packed
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    fn.argtypes = (
+        [ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,
+         ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_float]
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+        + [ctypes.c_int] * 6
+        + [ctypes.POINTER(ctypes.c_float)] * 2
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+        + [ctypes.POINTER(ctypes.c_float)]
+        + [ctypes.c_int]
+    )
+    if low_structure is not None:
+        parent, order, w = low_structure
+        parent = np.ascontiguousarray(parent, np.int32)
+        order = np.ascontiguousarray(order, np.int32)
+        w = np.ascontiguousarray(w, np.float32)
+        lp, lo, lw = ip(parent), ip(order), fp(w)
+    else:
+        lp = lo = lw = None
+    fn(
+        fp(low), packed.ctypes.data_as(ctypes.c_void_p), fp(roi),
+        ctypes.c_float(scale), ctypes.c_float(sigma), ip(eu), ip(ev),
+        E, B, V, D, C, is_bf16,
+        fp(loss), fp(d_packed), lp, lo, lw, int(bool(recursive)),
+    )
+    return loss, d_packed

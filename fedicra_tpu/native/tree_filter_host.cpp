@@ -23,13 +23,42 @@
 //   decomposition (same maths as refine.cu:302-370), chained through
 //   w = exp(-dist(/sigma)) into d embed (high trees only).
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
 namespace {
+
+// Run B independent jobs on at most min(B, cores) threads (override with
+// FEDICRA_TREE_THREADS). One-thread-per-image oversubscribes small hosts:
+// on the 1-core dev box 12 concurrent images thrash the cache (~20% slower
+// than sequential, measured); production hosts (~100 cores) still get one
+// image per core.
+template <class F>
+void run_batch(int B, F&& job) {
+  int hw = (int)std::thread::hardware_concurrency();
+  if (const char* env = std::getenv("FEDICRA_TREE_THREADS")) {
+    int v = std::atoi(env);
+    if (v > 0) hw = v;
+  }
+  int n = hw < 1 ? 1 : (hw < B ? hw : B);
+  if (n <= 1) {
+    for (int b = 0; b < B; ++b) job(b);
+    return;
+  }
+  std::atomic<int> next{0};
+  std::vector<std::thread> ts;
+  ts.reserve(n);
+  for (int t = 0; t < n; ++t)
+    ts.emplace_back([&]() {
+      for (int b; (b = next.fetch_add(1)) < B;) job(b);
+    });
+  for (auto& th : ts) th.join();
+}
 
 struct DSU2 {
   std::vector<int> parent;
@@ -318,18 +347,13 @@ void tree_filter_host_batch(const float* embed, const float* x,
                             float* dembed, const int* eu, const int* ev,
                             int E, int B, int V, int D, int C, float sigma,
                             int low_tree) {
-  std::vector<std::thread> threads;
-  threads.reserve(B);
-  for (int b = 0; b < B; ++b) {
-    threads.emplace_back([=]() {
-      filter_one(embed + (size_t)b * V * D, x + (size_t)b * V * C,
-                 gout ? gout + (size_t)b * V * C : nullptr,
-                 y + (size_t)b * V * C, dx ? dx + (size_t)b * V * C : nullptr,
-                 dembed ? dembed + (size_t)b * V * D : nullptr, eu, ev, E, V,
-                 D, C, sigma, low_tree);
-    });
-  }
-  for (auto& th : threads) th.join();
+  run_batch(B, [=](int b) {
+    filter_one(embed + (size_t)b * V * D, x + (size_t)b * V * C,
+               gout ? gout + (size_t)b * V * C : nullptr,
+               y + (size_t)b * V * C, dx ? dx + (size_t)b * V * C : nullptr,
+               dembed ? dembed + (size_t)b * V * D : nullptr, eu, ev, E, V,
+               D, C, sigma, low_tree);
+  });
 }
 
 }  // extern "C"
@@ -353,11 +377,13 @@ struct LevelState {
   std::vector<float> A, F;   // residuals over C+1 channels, BFS-ordered
 };
 
-// Kruskal over an LSD radix sort (3 x 11-bit passes on the order-preserving
-// uint32 transform of the positive float weights). Ties break by edge index
-// automatically: the radix passes are stable and process edges in index
-// order. ~6x faster than the comparison sort, which dominated the level
-// build (~40ms of each ~60ms level at E=294k).
+// Kruskal over an LSD radix sort (2 x 16-bit passes on the order-preserving
+// uint32 transform of the positive float weights; 256KB count array stays
+// L2-resident). Ties break by edge index automatically: the radix passes
+// are stable and process edges in index order. The union uses size so
+// near-tied weight fields (smooth features -> index-ordered merges) cannot
+// degenerate the find chains; selection depends only on cycle detection,
+// which union-by-size leaves identical.
 void mst_kruskal(const int* eu, const int* ev, const float* w, int E, int V,
                  std::vector<uint8_t>& sel) {
   std::vector<uint32_t> keys((size_t)E);
@@ -370,7 +396,7 @@ void mst_kruskal(const int* eu, const int* ev, const float* w, int E, int V,
   }
   std::vector<int> order((size_t)E), order2((size_t)E);
   std::iota(order.begin(), order.end(), 0);
-  constexpr int RB = 11;
+  constexpr int RB = 16;
   constexpr int BUCKETS = 1 << RB;
   std::vector<int> count(BUCKETS);
   for (int shift = 0; shift < 32; shift += RB) {
@@ -390,13 +416,16 @@ void mst_kruskal(const int* eu, const int* ev, const float* w, int E, int V,
     order.swap(order2);
   }
   DSU2 dsu(V);
+  std::vector<int> sz((size_t)V, 1);
   sel.assign(E, 0);
   int remaining = V - 1;
   for (int oi = 0; oi < E && remaining > 0; ++oi) {
     int i = order[oi];
     int ru = dsu.find(eu[i]), rv = dsu.find(ev[i]);
     if (ru == rv) continue;
+    if (sz[ru] > sz[rv]) std::swap(ru, rv);
     dsu.parent[ru] = rv;
+    sz[rv] += sz[ru];
     sel[i] = 1;
     --remaining;
   }
@@ -612,18 +641,15 @@ void tree_energy_chain_host(const float* low, const float* prob,
                             int D, int C, float* loss_out, float* d_prob,
                             float* d_a1, float* d_a2, float* d_a3,
                             int recursive) {
-  std::vector<std::thread> threads;
-  threads.reserve(B);
-  for (int b = 0; b < B; ++b) {
+  run_batch(B, [=](int b) {
     size_t oc = (size_t)b * V * C;
     size_t od = (size_t)b * V * D;
     size_t ov = (size_t)b * V;
-    threads.emplace_back(chain_one, low + od, prob + oc, a1 + oc, a2 + oc,
-                         a3 + oc, roi + ov, scale, sigma, eu, ev, E, V, D, C,
-                         loss_out + b, d_prob + oc, d_a1 + oc, d_a2 + oc,
-                         d_a3 + oc, nullptr, nullptr, nullptr, recursive);
-  }
-  for (auto& t : threads) t.join();
+    chain_one(low + od, prob + oc, a1 + oc, a2 + oc, a3 + oc, roi + ov,
+              scale, sigma, eu, ev, E, V, D, C, loss_out + b, d_prob + oc,
+              d_a1 + oc, d_a2 + oc, d_a3 + oc, nullptr, nullptr, nullptr,
+              recursive);
+  });
 }
 
 // Precompute the low level's tree structure for a batch of guide images:
@@ -632,20 +658,15 @@ void tree_energy_chain_host(const float* low, const float* prob,
 void tree_low_structure_build(const float* low, const int* eu, const int* ev,
                               int E, int B, int V, int D, float sigma,
                               int* parent_out, int* order_out, float* w_out) {
-  std::vector<std::thread> threads;
-  threads.reserve(B);
-  for (int b = 0; b < B; ++b) {
-    threads.emplace_back([=]() {
-      LevelState L;
-      build_level(low + (size_t)b * V * D, D, eu, ev, E, V, 1.f / sigma, L);
-      std::memcpy(parent_out + (size_t)b * V, L.t.parent.data(),
-                  sizeof(int) * V);
-      std::memcpy(order_out + (size_t)b * V, L.t.order.data(),
-                  sizeof(int) * V);
-      std::memcpy(w_out + (size_t)b * V, L.w.data(), sizeof(float) * V);
-    });
-  }
-  for (auto& t : threads) t.join();
+  run_batch(B, [=](int b) {
+    LevelState L;
+    build_level(low + (size_t)b * V * D, D, eu, ev, E, V, 1.f / sigma, L);
+    std::memcpy(parent_out + (size_t)b * V, L.t.parent.data(),
+                sizeof(int) * V);
+    std::memcpy(order_out + (size_t)b * V, L.t.order.data(),
+                sizeof(int) * V);
+    std::memcpy(w_out + (size_t)b * V, L.w.data(), sizeof(float) * V);
+  });
 }
 
 // Chain with a precomputed low-level structure ([B,V] arrays; pass NULLs to
@@ -657,21 +678,78 @@ void tree_energy_chain_host_cached(
     float* d_prob, float* d_a1, float* d_a2, float* d_a3,
     const int* low_parent, const int* low_order, const float* low_w,
     int recursive) {
-  std::vector<std::thread> threads;
-  threads.reserve(B);
-  for (int b = 0; b < B; ++b) {
+  run_batch(B, [=](int b) {
     size_t oc = (size_t)b * V * C;
     size_t od = (size_t)b * V * D;
     size_t ov = (size_t)b * V;
-    threads.emplace_back(
-        chain_one, low + od, prob + oc, a1 + oc, a2 + oc, a3 + oc, roi + ov,
-        scale, sigma, eu, ev, E, V, D, C, loss_out + b, d_prob + oc,
-        d_a1 + oc, d_a2 + oc, d_a3 + oc,
-        low_parent ? low_parent + ov : nullptr,
-        low_order ? low_order + ov : nullptr,
-        low_w ? low_w + ov : nullptr, recursive);
-  }
-  for (auto& t : threads) t.join();
+    chain_one(low + od, prob + oc, a1 + oc, a2 + oc, a3 + oc, roi + ov,
+              scale, sigma, eu, ev, E, V, D, C, loss_out + b, d_prob + oc,
+              d_a1 + oc, d_a2 + oc, d_a3 + oc,
+              low_parent ? low_parent + ov : nullptr,
+              low_order ? low_order + ov : nullptr,
+              low_w ? low_w + ov : nullptr, recursive);
+  });
+}
+
+// Packed-layout chain: the split trainer ships ONE (B,V,4C) array per chunk
+// (probs then aux1..3 along the channel axis, bf16 or f32) and wants the
+// four cotangents back in the same packed layout. Channel-slicing that
+// array host-side in numpy costs ~2 s/iteration of strided copies at the
+// headline config (measured, round 4); here each image's worker thread
+// deinterleaves with streaming reads (bf16 widening to f32 is exact, so
+// this equals numpy's astype bit-for-bit), runs the identical chain_one,
+// and re-interleaves the cotangents. packed_is_bf16: packed rows are
+// uint16 bfloat16 bit patterns; d_packed is always f32 (the caller owns
+// the lossy f32->bf16 rounding for the upload).
+void tree_energy_chain_host_packed(
+    const float* low, const void* packed, const float* roi, float scale,
+    float sigma, const int* eu, const int* ev, int E, int B, int V, int D,
+    int C, int packed_is_bf16, float* loss_out, float* d_packed,
+    const int* low_parent, const int* low_order, const float* low_w,
+    int recursive) {
+  const int P = 4 * C;
+  run_batch(B, [=](int b) {
+    size_t ov = (size_t)b * V;
+    size_t op = ov * P;
+    std::vector<float> prob((size_t)V * C), a1((size_t)V * C),
+        a2((size_t)V * C), a3((size_t)V * C);
+    float* outs[4] = {prob.data(), a1.data(), a2.data(), a3.data()};
+    if (packed_is_bf16) {
+      const uint16_t* src = (const uint16_t*)packed + op;
+      for (int v = 0; v < V; ++v) {
+        const uint16_t* r = src + (size_t)v * P;
+        for (int k = 0; k < 4; ++k)
+          for (int c = 0; c < C; ++c) {
+            uint32_t u = (uint32_t)r[k * C + c] << 16;
+            float f;
+            std::memcpy(&f, &u, 4);
+            outs[k][(size_t)v * C + c] = f;
+          }
+      }
+    } else {
+      const float* src = (const float*)packed + op;
+      for (int v = 0; v < V; ++v) {
+        const float* r = src + (size_t)v * P;
+        for (int k = 0; k < 4; ++k)
+          for (int c = 0; c < C; ++c) outs[k][(size_t)v * C + c] = r[k * C + c];
+      }
+    }
+    std::vector<float> dp((size_t)V * C, 0.f), d1((size_t)V * C, 0.f),
+        d2((size_t)V * C, 0.f), d3((size_t)V * C, 0.f);
+    chain_one(low + ov * D, prob.data(), a1.data(), a2.data(), a3.data(),
+              roi + ov, scale, sigma, eu, ev, E, V, D, C, loss_out + b,
+              dp.data(), d1.data(), d2.data(), d3.data(),
+              low_parent ? low_parent + ov : nullptr,
+              low_order ? low_order + ov : nullptr,
+              low_w ? low_w + ov : nullptr, recursive);
+    const float* ds[4] = {dp.data(), d1.data(), d2.data(), d3.data()};
+    float* dst = d_packed + op;
+    for (int v = 0; v < V; ++v) {
+      float* r = dst + (size_t)v * P;
+      for (int k = 0; k < 4; ++k)
+        for (int c = 0; c < C; ++c) r[k * C + c] = ds[k][(size_t)v * C + c];
+    }
+  });
 }
 
 }  // extern "C"

@@ -176,6 +176,74 @@ def test_fedicra_personalization_diverges_heads(monkeypatch):
     assert not np.allclose(heads[0], heads[1])
 
 
+def test_fit_fault_aborts_round_without_contamination():
+    """In-process fault injection (VERDICT r3 #6): a client raising mid-fit
+    must abort THAT round — the global payload stays bitwise untouched, no
+    partial aggregation — and the next round proceeds normally. Mirrors the
+    reference's accept_failures=False: a failed fit_round returns None and
+    MyServer logs + continues (flower_common.py:263-265, ..._Ours.py:377)."""
+    cfg = _tiny_cfg(strategy="FedAvg", procedure="pce",
+                    model="unet_lc_multihead")
+    server = build_experiment(cfg, limit_per_client=4)
+    victim = server.clients[2]
+    real_fit = victim.fit
+
+    m = server.fit_round(2)
+    assert m is not None
+    snap = jax.tree.map(np.asarray, server.global_payload)
+
+    def crashing_fit(ins):
+        # mutate local client state first (a genuinely *mid*-fit failure),
+        # then die: the abort must still leave the global payload untouched
+        victim.state = victim.state._replace(
+            current_iter=victim.state.current_iter + 1
+        )
+        raise RuntimeError("simulated mid-fit crash")
+
+    victim.fit = crashing_fit
+    assert server.fit_round(4) is None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        server.global_payload, snap,
+    )
+
+    # client recovers -> the next round trains and aggregates again
+    victim.fit = real_fit
+    m = server.fit_round(6)
+    assert m is not None
+    for leaf in jax.tree.leaves(server.global_payload["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_evaluate_fault_skips_eval_round_and_continues():
+    """A client raising mid-evaluate skips that eval (no val metrics, no
+    best-checkpoint update) but neither aborts training nor corrupts the
+    loop — the reference logs 'evaluate failed' and continues
+    (flower_common.py:303-306)."""
+    cfg = _tiny_cfg(strategy="FedAvg", procedure="pce",
+                    model="unet_lc_multihead")
+    server = build_experiment(cfg, limit_per_client=4)
+    victim = server.clients[1]
+
+    calls = {"n": 0}
+    real_evaluate = victim.evaluate
+
+    def flaky_evaluate(ins):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated mid-evaluate crash")
+        return real_evaluate(ins)
+
+    victim.evaluate = flaky_evaluate
+    history = server.run(num_rounds=8, progress=False)
+    assert len(history) == 4 and not any(h.get("aborted") for h in history)
+    # eval rounds are 4 and 8; the first one died -> no val metrics, no best
+    evals = [h for h in history if "val_mean_dice" in h]
+    assert [h["round"] for h in evals] == [8]
+    assert calls["n"] == 2  # failed at round 4, succeeded at round 8
+    assert server.best_dice == pytest.approx(evals[0]["val_mean_dice"])
+
+
 def test_server_stops_after_consecutive_failures():
     """A persistently failing backend must stop the run instead of burning
     the whole round budget on aborted rounds (greenfield safety; the

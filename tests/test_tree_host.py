@@ -176,3 +176,33 @@ def test_low_tree_disk_cache_roundtrip(tmp_path, monkeypatch):
     assert teh.low_tree_cache_stats()["disk_hits"] == before + 1
     for a, b in zip(s1, s2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("recursive", [True, False])
+def test_packed_chain_matches_unpacked_bitwise(recursive):
+    """The packed-layout chain (one (B,H,W,4C) array in, one cotangent
+    array out — the split trainer's wire format) must reproduce the
+    unpacked channel-slice path bit-for-bit, for f32 and for bf16 input
+    (bf16 rows widen exactly in the C++ deinterleave)."""
+    import ml_dtypes
+
+    from fedicra_tpu.losses import tree_energy_host as teh
+
+    B, H, W, C = 3, 20, 20, 3
+    rng = np.random.default_rng(11)
+    packed = rng.random((B, H, W, 4 * C), np.float32)
+    low = rng.random((B, H, W, 3), np.float32)
+    rois = (rng.random((B, H, W)) < 0.25).astype(np.float32)
+
+    for arr in (packed, packed.astype(ml_dtypes.bfloat16)):
+        wide = np.asarray(arr, np.float32)
+        sl = lambda k: np.ascontiguousarray(wide[..., k * C : (k + 1) * C])
+        ref = teh.multi_scale_tree_loss_host(
+            sl(0), low, sl(1), sl(2), sl(3), rois, 0.1,
+            recursive=recursive, per_image=True,
+        )
+        li, d = teh.multi_scale_tree_loss_host_packed(
+            arr, low, rois, 0.1, recursive=recursive
+        )
+        np.testing.assert_array_equal(li, ref[0])
+        np.testing.assert_array_equal(d, np.concatenate(ref[1:], axis=-1))
