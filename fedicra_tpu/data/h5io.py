@@ -122,9 +122,24 @@ def make_synthetic_split(
     num_classes: int,
     seed: int = 0,
     sparse: bool = True,
+    sup_type: str = "scribble",
 ) -> ClientSplit:
     """Synthetic data generator (used for the Polyp federation, whose data is
-    referenced by the reference launcher but not shipped, and for tests)."""
+    referenced by the reference launcher but not shipped, and for tests).
+
+    `sup_type` shapes the partial annotation the way the reference's H5 label
+    keys do (scribble / scribble_noisy / keypoint / box / block — the
+    semantics live in the shipped data there, dataset.py:61-96, so the exact
+    pixel patterns here are our own reasonable stand-ins):
+
+    - scribble: ~30 labeled pixels per class, rest ignore (num_classes)
+    - scribble_noisy: scribble with ~10% of labeled pixels flipped
+    - keypoint: 3 labeled pixels per class
+    - box: background labeled OUTSIDE the foreground bounding box; the box
+      interior is ignore (the classic bbox weak label)
+    - block: one image quadrant fully labeled, the rest ignore
+
+    `sparse=False` returns the dense ground-truth mask (val splits)."""
     rng = np.random.default_rng(seed)
     imgs = rng.uniform(0, 1, size=(num_samples, height, width, channels)).astype(
         np.float32
@@ -138,16 +153,41 @@ def make_synthetic_split(
         r = rng.integers(min(height, width) // 8, min(height, width) // 4)
         disk = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
         imgs[i, ..., 0] = np.where(disk, imgs[i, ..., 0] * 0.5 + 0.5, imgs[i, ..., 0])
-        if sparse:
-            # scribble-like sparse label: a few pixels of each class
-            lab = labels[i]
-            fg = np.argwhere(disk)
-            bg = np.argwhere(~disk)
-            for cls, pool in ((1, fg), (0, bg)):
-                take = pool[rng.choice(len(pool), size=min(30, len(pool)), replace=False)]
-                lab[take[:, 0], take[:, 1]] = cls if num_classes > 1 else 0
-        else:
+        if not sparse:
             labels[i] = np.where(disk, 1, 0).astype(np.uint8)
+            continue
+        lab = labels[i]
+        fg = np.argwhere(disk)
+        bg = np.argwhere(~disk)
+        if sup_type in ("scribble", "scribble_noisy", "keypoint"):
+            n_px = 3 if sup_type == "keypoint" else 30
+            for cls, pool in ((1, fg), (0, bg)):
+                take = pool[
+                    rng.choice(len(pool), size=min(n_px, len(pool)), replace=False)
+                ]
+                lab[take[:, 0], take[:, 1]] = cls if num_classes > 1 else 0
+            if sup_type == "scribble_noisy" and num_classes > 1:
+                labeled = np.argwhere(lab != num_classes)
+                flip = labeled[
+                    rng.choice(len(labeled), size=max(len(labeled) // 10, 1),
+                               replace=False)
+                ]
+                lab[flip[:, 0], flip[:, 1]] = (
+                    1 - lab[flip[:, 0], flip[:, 1]]
+                ).astype(np.uint8)
+        elif sup_type == "box":
+            y0, y1 = fg[:, 0].min(), fg[:, 0].max()
+            x0, x1 = fg[:, 1].min(), fg[:, 1].max()
+            box = np.zeros((height, width), dtype=bool)
+            box[y0:y1 + 1, x0:x1 + 1] = True
+            lab[~box] = 0
+        elif sup_type == "block":
+            qy, qx = rng.integers(0, 2), rng.integers(0, 2)
+            sl = (slice(qy * height // 2, (qy + 1) * height // 2),
+                  slice(qx * width // 2, (qx + 1) * width // 2))
+            lab[sl] = np.where(disk, 1, 0).astype(np.uint8)[sl]
+        else:
+            raise ValueError(f"unknown synthetic sup_type {sup_type!r}")
     return ClientSplit(
         images=imgs,
         labels=labels,

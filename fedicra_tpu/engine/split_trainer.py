@@ -22,6 +22,14 @@ achieves the same computation with an explicit pipelined step:
           cotangents — added to part2a's gradients, then the masked-AdamW
           phase update, all in one dispatch.
 
+Merged-backward mode (FEDICRA_SPLIT_MERGED=1): partF (jit) is a forward-only
+producer of the transfer tensors; part2bc (jit) then differentiates ALL
+terms — pCE + CRF + contrast + the injected tree term — in ONE
+value_and_grad and applies the update. This removes one full
+forward+remat+backward per iteration vs the part2a/part2b pipeline; the
+gradient is the same sum up to float association order
+(tests/test_split_merged.py).
+
 Gradients equal the monolithic device path up to float order (grads add
 linearly across the split); verified in tests/test_split_trainer.py.
 
@@ -164,16 +172,26 @@ def make_split_round_fn(model, cfg: TrainConfig):
     H = W = cfg.img_size
     tdtype = _transfer_dtype()
 
-    # Aux-head shipping resolution. 'full' (default): resize to the output
-    # resolution ON DEVICE (free under XLA) and skip the host-side resize +
-    # adjoint entirely. 'native': ship at decoder-native resolution
-    # (96/192/384 at 384^2) — ~40% smaller transfers, but the host then pays
-    # the bilinear upsample + adjoint (BLAS GEMMs after the round-3 rewrite;
-    # ~1-3 s/iter on a 1-core dev host, negligible on production hosts).
-    # Round 2's 'native' default with einsum resize was the 1.5 -> 0.9
-    # img/s regression (BASELINE.md round 3).
-    aux_full = os.environ.get("FEDICRA_AUX_SHIP", "full") != "native"
-    n_chunks = _n_transfer_chunks() if aux_full else 1
+    # Aux-head shipping resolution / wire format:
+    #   'full' (default): aux heads resize to the output resolution ON
+    #     DEVICE (free under XLA) and ship packed as one (B,H,W,4C) array
+    #     per chunk; the host pays no resize.
+    #   'native': aux heads ship at decoder-native resolution, packed as
+    #     ONE flat (B, L) array per chunk (~42% fewer wire bytes at 384^2 —
+    #     the tunnel measures ~40 MB/s each way, probe table in
+    #     BASELINE.md); the C++ workers do the bilinear upsample and pull
+    #     the aux cotangents back through the resize ADJOINT (a few ms of
+    #     4-tap arithmetic per image — NOT the round-2 einsum regression,
+    #     which resized in numpy host-side).
+    #   'native_unpacked': legacy 4-array ship (kept as the simple
+    #     reference path; unchunked, one RTT per array).
+    ship_mode = os.environ.get("FEDICRA_AUX_SHIP", "full")
+    aux_full = ship_mode == "full"
+    native_packed = ship_mode == "native"
+    n_chunks = _n_transfer_chunks() if (aux_full or native_packed) else 1
+    # per-block (h, w) shapes of the native-packed wire, captured at trace
+    # time (concrete ints); the host worker needs them to deinterleave.
+    ship_shapes: list = []
 
     def _pack_ship(probs, aux):
         """Pack the host-transfer tensors from an already-computed forward.
@@ -183,7 +201,11 @@ def make_split_round_fn(model, cfg: TrainConfig):
         array, so four separate device->host fetches serialize four RTTs
         (measured ~2s/iter of the round-3 bench); chunking along batch
         (default 2) then lets the host chain start on chunk 0 while chunk 1
-        is still on the wire (_n_transfer_chunks)."""
+        is still on the wire (_n_transfer_chunks).
+
+        native_packed: the same single-array chunked wire, but each block
+        flattened at its own resolution: [prob(H,W,C)|aux1|aux2|aux3] as
+        (B, L)."""
         if aux_full:
             hw = (probs.shape[1], probs.shape[2])
             auxr = [_resize_bilinear(a, hw) for a in aux]
@@ -191,6 +213,18 @@ def make_split_round_fn(model, cfg: TrainConfig):
             return tuple(
                 packed[lo:hi]
                 for lo, hi in _chunk_bounds(packed.shape[0], n_chunks)
+            )
+        if native_packed:
+            if not ship_shapes:
+                ship_shapes.extend(
+                    [(t.shape[1], t.shape[2]) for t in (probs, *aux)]
+                )
+            flat = jnp.concatenate(
+                [t.reshape(t.shape[0], -1) for t in (probs, *aux)], axis=1
+            ).astype(tdtype)
+            return tuple(
+                flat[lo:hi]
+                for lo, hi in _chunk_bounds(flat.shape[0], n_chunks)
             )
         return tuple(t.astype(tdtype) for t in (probs, *aux))
 
@@ -221,18 +255,27 @@ def make_split_round_fn(model, cfg: TrainConfig):
     # script is absent upstream — engine/objective.py:_treeenergy_add)
     use_crf = cfg.procedure == "ours"
     tree_recursive = cfg.procedure == "ours"
+    # Merged-backward mode (round 4): a forward-only partF produces the
+    # host-transfer tensors, and ONE joint backward (part2bc) differentiates
+    # pCE + CRF + contrast + the injected tree term together. The two-jit
+    # part2a/part2b pipeline runs TWO full value_and_grad passes per
+    # iteration (each: forward + remat + backward); merging removes one of
+    # them — the gradient sum is identical up to float association order
+    # (tests/test_split_merged.py). Default ON since the on-TPU record:
+    # 2.144 vs 1.908 img/s/chip at the headline config (BASELINE.md round
+    # 4) — the forward-only partF (0.09 s) replaces part2a (0.49 s) on the
+    # pre-fetch critical path.
+    merged = os.environ.get("FEDICRA_SPLIT_MERGED", "1") == "1"
 
-    def loss_a_fn(params, batch_stats, k, batch, cid):
-        """Every term that does NOT need the host tree results."""
+    def _loss_terms(params, batch_stats, k, batch, cid):
+        """All tree-independent terms from ONE forward; returns
+        (loss_a, new_stats, metrics, probs, aux)."""
         images, labels = batch["image"], batch["label"]
         rng, kd = jax.random.split(k)
         logits, aux, hm_own, new_stats = _forward(
             params, batch_stats, kd, images, cid
         )
         probs = jax.nn.softmax(logits, axis=-1)
-        # the host-transfer tensors come from THIS forward (no separate
-        # part1 dispatch); they ride along as non-differentiated aux output
-        ship = _pack_ship(probs, aux)
         loss_ce = partial_cross_entropy(logits, labels, cfg.num_classes)
         metrics = {"loss_ce": loss_ce}
         loss = loss_ce
@@ -252,7 +295,16 @@ def make_split_round_fn(model, cfg: TrainConfig):
             metrics["loss_lc"] = loss_lc
         vis_idx = min(1, logits.shape[0] - 1)
         metrics["vis_pred"] = jnp.argmax(logits[vis_idx], -1).astype(jnp.int32)
-        return loss, (new_stats, metrics, ship)
+        return loss, new_stats, metrics, probs, aux
+
+    def loss_a_fn(params, batch_stats, k, batch, cid):
+        """Every term that does NOT need the host tree results."""
+        loss, new_stats, metrics, probs, aux = _loss_terms(
+            params, batch_stats, k, batch, cid
+        )
+        # the host-transfer tensors come from THIS forward (no separate
+        # part1 dispatch); they ride along as non-differentiated aux output
+        return loss, (new_stats, metrics, _pack_ship(probs, aux))
 
     @jax.jit
     def part2a(params, stats, k, batch, cid):
@@ -261,10 +313,20 @@ def make_split_round_fn(model, cfg: TrainConfig):
         )(params, stats, k, batch, cid)
         return grads_a, new_stats, loss_a, metrics, ship
 
+    @jax.jit
+    def partF(params, stats, k, batch, cid):
+        """Forward-only producer of the host-transfer tensors (merged mode).
+        Uses the same k -> kd derivation as the grad passes so the dropout
+        draw (and hence the shipped probs/aux) matches part2bc's forward."""
+        images = batch["image"]
+        _, kd = jax.random.split(k)
+        logits, aux, _, _ = _forward(params, stats, kd, images, cid)
+        return _pack_ship(jax.nn.softmax(logits, axis=-1), aux)
+
     def _unpack_cots(cots):
         """Cotangents arrive packed as (Bc,H,W,4C) batch chunks in aux_full
         mode (one H2D upload each, pipelined with the host chain), or as four
-        full-batch arrays in native mode."""
+        full-batch arrays in native_unpacked mode."""
         if aux_full:
             dcat = cots[0] if len(cots) == 1 else jnp.concatenate(cots, axis=0)
             C = cfg.num_classes
@@ -273,28 +335,59 @@ def make_split_round_fn(model, cfg: TrainConfig):
             )
         return cots
 
-    def loss_tree_fn(params, batch_stats, k, batch, cid, cots):
-        """The injected tree term: gradient == host cotangents. The aux
-        cotangents arrive at whatever resolution part2a shipped (full by
-        default; decoder-native under FEDICRA_AUX_SHIP=native, where the host
-        pulls them back through the resize adjoint) — either way
-        <aux_i, d_i> here equals <resize(aux_i), d_i_fullres> by linearity,
-        so the resize below mirrors part2a's."""
-        images = batch["image"]
-        dp, d1, d2, d3 = _unpack_cots(cots)
-        _, kd = jax.random.split(k)
-        logits, aux, _, _ = _forward(params, batch_stats, kd, images, cid)
-        probs = jax.nn.softmax(logits, axis=-1)
+    def _unpack_cots_native(cots, probs, aux):
+        """Native-packed mode: cotangents arrive as flat (Bc, L) chunks in
+        the ship's block layout; split them at the block offsets and reshape
+        to each block's own (native) resolution — taken from the in-trace
+        probs/aux shapes, which are exactly the shipped ones."""
+        dcat = cots[0] if len(cots) == 1 else jnp.concatenate(cots, axis=0)
+        outs, off = [], 0
+        for t in (probs, *aux):
+            ln = t.shape[1] * t.shape[2] * t.shape[3]
+            outs.append(dcat[:, off:off + ln].reshape((-1,) + t.shape[1:]))
+            off += ln
+        return tuple(outs)
+
+    def _lin_term(probs, aux, cots):
+        """<(probs, aux), cots>: the injected tree term whose gradient is
+        exactly the host cotangents. The aux cotangents arrive at whatever
+        resolution the ship used (full by default; decoder-native under
+        FEDICRA_AUX_SHIP=native, where the host pulls them back through the
+        resize adjoint) — either way <aux_i, d_i> here equals
+        <resize(aux_i), d_i_fullres> by linearity, so the resize below
+        mirrors the ship's."""
+        if native_packed:
+            dp, d1, d2, d3 = _unpack_cots_native(cots, probs, aux)
+        else:
+            dp, d1, d2, d3 = _unpack_cots(cots)
         if aux_full:
             hw = (probs.shape[1], probs.shape[2])
             aux = tuple(_resize_bilinear(a, hw) for a in aux)
-        lin = (
+        return (
             jnp.sum(probs * jax.lax.stop_gradient(dp).astype(probs.dtype))
             + jnp.sum(aux[0] * jax.lax.stop_gradient(d1).astype(probs.dtype))
             + jnp.sum(aux[1] * jax.lax.stop_gradient(d2).astype(probs.dtype))
             + jnp.sum(aux[2] * jax.lax.stop_gradient(d3).astype(probs.dtype))
         )
+
+    def loss_tree_fn(params, batch_stats, k, batch, cid, cots):
+        """The injected tree term alone (two-jit pipeline's part2b)."""
+        images = batch["image"]
+        _, kd = jax.random.split(k)
+        logits, aux, _, _ = _forward(params, batch_stats, kd, images, cid)
+        probs = jax.nn.softmax(logits, axis=-1)
+        lin = _lin_term(probs, aux, cots)
         return lin - jax.lax.stop_gradient(lin)
+
+    def loss_merged_fn(params, batch_stats, k, batch, cid, cots):
+        """Every term — tree-independent + the injected tree term — from ONE
+        forward, so a single value_and_grad produces the full gradient. The
+        value equals loss_a_fn's exactly (lin - stop_grad(lin) == 0)."""
+        loss, new_stats, metrics, probs, aux = _loss_terms(
+            params, batch_stats, k, batch, cid
+        )
+        lin = _lin_term(probs, aux, cots)
+        return loss + lin - jax.lax.stop_gradient(lin), (new_stats, metrics)
 
     def make_part2b(mask_predicate):
         @jax.jit
@@ -316,11 +409,36 @@ def make_split_round_fn(model, cfg: TrainConfig):
 
         return part2b
 
-    part2b_head = make_part2b(is_head_path)
-    part2b_body = make_part2b(
-        lambda p: (not is_head_path(p)) and (not is_pcs_path(p))
-    )
-    part2b_full = make_part2b(lambda p: not is_pcs_path(p))
+    def make_part2bc(mask_predicate):
+        @jax.jit
+        def part2bc(params, stats, opt_state, lr, k, batch, cid,
+                    tree_val, cots):
+            mask = path_mask(params, mask_predicate)
+            opt = _masked_opt(_adamw(lr), mask)
+            (loss_a, (new_stats, metrics)), grads = jax.value_and_grad(
+                loss_merged_fn, has_aux=True
+            )(params, stats, k, batch, cid, cots)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = dict(metrics)
+            metrics["loss_tree"] = tree_val
+            metrics["total_loss"] = loss_a + tree_val
+            return params, new_stats, opt_state, metrics
+
+        return part2bc
+
+    if merged:
+        part2b_head = make_part2bc(is_head_path)
+        part2b_body = make_part2bc(
+            lambda p: (not is_head_path(p)) and (not is_pcs_path(p))
+        )
+        part2b_full = make_part2bc(lambda p: not is_pcs_path(p))
+    else:
+        part2b_head = make_part2b(is_head_path)
+        part2b_body = make_part2b(
+            lambda p: (not is_head_path(p)) and (not is_pcs_path(p))
+        )
+        part2b_full = make_part2b(lambda p: not is_pcs_path(p))
 
     def _opt_init(params, predicate):
         mask = path_mask(params, predicate)
@@ -329,6 +447,7 @@ def make_split_round_fn(model, cfg: TrainConfig):
     def round_fn(state: ClientState, batches: Dict[str, Array], cid):
         from ..losses.tree_energy_host import (
             multi_scale_tree_loss_host,
+            multi_scale_tree_loss_host_npacked,
             multi_scale_tree_loss_host_packed,
         )
 
@@ -366,15 +485,19 @@ def make_split_round_fn(model, cfg: TrainConfig):
             }
             rng, k = jax.random.split(rng)
             t0 = time.perf_counter() if timing else 0.0
-            # one dispatch computes the tree-independent grads AND the
-            # host-transfer tensors from the same forward (no part1)
-            grads_a, new_stats, loss_a, metrics_a, p1_out = part2a(
-                params, stats, k, batch, cid_arr
-            )
+            if merged:
+                # forward-only ship; ALL gradient work happens in part2bc
+                p1_out = partF(params, stats, k, batch, cid_arr)
+            else:
+                # one dispatch computes the tree-independent grads AND the
+                # host-transfer tensors from the same forward (no part1)
+                grads_a, new_stats, loss_a, metrics_a, p1_out = part2a(
+                    params, stats, k, batch, cid_arr
+                )
             img_np = images_np[i]
             low = img_np if img_np.shape[-1] == 3 else np.repeat(img_np, 3, -1)
             rois = (labels_np[i] == cfg.num_classes).astype(np.float32)
-            if aux_full:
+            if aux_full or native_packed:
                 # Pipelined fetch -> host chain -> upload at chunk
                 # granularity. The chunk fetches block on part2a's compute
                 # (they are its outputs); after that a single worker thread
@@ -404,18 +527,31 @@ def make_split_round_fn(model, cfg: TrainConfig):
                         idx, arr, lo, hi = item
                         try:
                             # packed fast path: the chain consumes the
-                            # shipped (Bc,H,W,4C) array directly (bf16 rows
-                            # widen exactly in the C++ deinterleave) and
-                            # returns the cotangents re-packed for one
-                            # upload — no numpy channel-slice copies
-                            res = multi_scale_tree_loss_host_packed(
-                                arr,
-                                low[lo:hi],
-                                rois[lo:hi],
-                                cfg.tree_loss_weight,
-                                recursive=tree_recursive,
-                                roi_total=n_roi,
-                            )
+                            # shipped array directly (bf16 rows widen
+                            # exactly in the C++ deinterleave) and returns
+                            # the cotangents re-packed for one upload — no
+                            # numpy channel-slice copies. native_packed
+                            # additionally keeps aux blocks at decoder
+                            # resolution on the wire (C++ resize+adjoint).
+                            if native_packed:
+                                res = multi_scale_tree_loss_host_npacked(
+                                    arr,
+                                    low[lo:hi],
+                                    rois[lo:hi],
+                                    cfg.tree_loss_weight,
+                                    list(ship_shapes),
+                                    recursive=tree_recursive,
+                                    roi_total=n_roi,
+                                )
+                            else:
+                                res = multi_scale_tree_loss_host_packed(
+                                    arr,
+                                    low[lo:hi],
+                                    rois[lo:hi],
+                                    cfg.tree_loss_weight,
+                                    recursive=tree_recursive,
+                                    roi_total=n_roi,
+                                )
                         except BaseException as e:  # propagate to main
                             res = e
                         outq.put((idx, res))
@@ -434,8 +570,12 @@ def make_split_round_fn(model, cfg: TrainConfig):
                         inq.put(None)  # always release the worker
                     if timing:
                         t1 = time.perf_counter()
-                        _capture_cost("part2a", part2a, params, stats, k,
-                                      batch, cid_arr)
+                        if merged:
+                            _capture_cost("partF", partF, params, stats, k,
+                                          batch, cid_arr)
+                        else:
+                            _capture_cost("part2a", part2a, params, stats, k,
+                                          batch, cid_arr)
                     loss_parts = [None] * len(bounds)
                     cot_parts = [None] * len(bounds)
                     pending = {}
@@ -461,8 +601,12 @@ def make_split_round_fn(model, cfg: TrainConfig):
                 )
                 if timing:
                     t1 = time.perf_counter()
-                    _capture_cost("part2a", part2a, params, stats, k, batch,
-                                  cid_arr)
+                    if merged:
+                        _capture_cost("partF", partF, params, stats, k,
+                                      batch, cid_arr)
+                    else:
+                        _capture_cost("part2a", part2a, params, stats, k,
+                                      batch, cid_arr)
                 tree_val, dpn, d1n, d2n, d3n = multi_scale_tree_loss_host(
                     probs_h, low, a1_h, a2_h, a3_h, rois,
                     cfg.tree_loss_weight,
@@ -474,10 +618,13 @@ def make_split_round_fn(model, cfg: TrainConfig):
                     jnp.asarray(c, dtype=tdtype) for c in (dpn, d1n, d2n, d3n)
                 )
             lr = poly_lr(cfg.base_lr, it, cfg.max_iterations)
-            args = (
-                lr, k, batch, cid_arr, grads_a, new_stats, loss_a, metrics_a,
-                jnp.float32(tree_val), cots,
-            )
+            if merged:
+                args = (lr, k, batch, cid_arr, jnp.float32(tree_val), cots)
+            else:
+                args = (
+                    lr, k, batch, cid_arr, grads_a, new_stats, loss_a,
+                    metrics_a, jnp.float32(tree_val), cots,
+                )
             if cfg.fedicra:
                 if i < n_head:
                     part2b, opt_name = part2b_head, "opt_state_h"
@@ -504,8 +651,8 @@ def make_split_round_fn(model, cfg: TrainConfig):
                     )
                 else:
                     opt_for_cost = opt_state_f
-                _capture_cost("part2b", part2b, params, stats, opt_for_cost,
-                              *args)
+                _capture_cost("part2bc" if merged else "part2b", part2b,
+                              params, stats, opt_for_cost, *args)
                 _PHASE_LOG.append({
                     "part2a_fetch": t1 - t0,
                     "host_chain": t3 - t1,
@@ -524,6 +671,19 @@ def make_split_round_fn(model, cfg: TrainConfig):
         return new_state, metrics
 
     round_fn.is_split = True
+    # expose the jitted stages + transfer params for phase-attribution
+    # probes (tools/probe_phases.py) — not used by the training path
+    round_fn.parts = {
+        "part2a": part2a,
+        "partF": partF,
+        "part2b_full": part2b_full,
+        "merged": merged,
+        "n_chunks": n_chunks,
+        "tdtype": tdtype,
+        "aux_full": aux_full,
+        "ship_mode": ship_mode,
+        "ship_shapes": ship_shapes,
+    }
     return round_fn
 
 

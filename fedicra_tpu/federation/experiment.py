@@ -46,7 +46,7 @@ def load_task_splits(
             n = limit_per_client or 24
             train = make_synthetic_split(
                 n, cfg.img_size, cfg.img_size, cfg.in_chns, cfg.num_classes,
-                seed=cid, sparse=True,
+                seed=cid, sparse=True, sup_type=sup,
             )
             val = make_synthetic_split(
                 max(n // 3, 2), cfg.img_size, cfg.img_size, cfg.in_chns,

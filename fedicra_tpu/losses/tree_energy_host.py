@@ -265,3 +265,40 @@ def multi_scale_tree_loss_host_packed(
         recursive=recursive,
     )
     return loss, d_packed.reshape(b, h, w, p)
+
+
+def multi_scale_tree_loss_host_npacked(
+    packed: np.ndarray,  # [B, L] f32/bf16: [prob|aux1|aux2|aux3] flat blocks
+    low: np.ndarray,     # [B,H,W,3] guide image, float32
+    rois: np.ndarray,    # [B,H,W]
+    weight: float,
+    hws,                 # [(H,W),(h1,w1),(h2,w2),(h3,w3)] per-block shapes
+    *,
+    sigma: float = 0.02,
+    recursive: bool = True,
+    roi_total: float | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Native-resolution packed fast path (FEDICRA_AUX_SHIP=native): the
+    device ships ONE flat (B, L) array whose aux blocks stay at decoder
+    resolution (~42% fewer wire bytes than the full-res packed format at
+    384^2); the C++ workers upsample them to full res (bilinear, == jax
+    resize 'linear'), run the same chain, and pull the aux cotangents back
+    through the resize adjoint, re-packed in the same flat layout. Returns
+    (per_image_loss [B], d_packed float32 [B, L]). Equivalence with the
+    composed unpacked path is pinned bitwise in tests/test_tree_host.py."""
+    from ..ops.mst import grid_edges
+    from .. import native
+
+    b = packed.shape[0]
+    (h, w) = hws[0]
+    V = h * w
+    eu, ev = grid_edges(h, w)
+    low_f = np.ascontiguousarray(low.reshape(b, V, low.shape[-1]), np.float32)
+    roi_b = rois.reshape(b, V).astype(np.float32)
+    n = float(roi_b.sum()) if roi_total is None else float(roi_total)
+    scale = weight / (n if n > 0 else 1.0)
+    return native.tree_energy_chain_host_npacked(
+        low_f, packed, roi_b, scale, sigma, eu, ev, hws,
+        low_structure=_low_structure_cached(low_f, (h, w), eu, ev, sigma),
+        recursive=recursive,
+    )

@@ -390,3 +390,114 @@ def tree_energy_chain_host_packed(
         fp(loss), fp(d_packed), lp, lo, lw, int(bool(recursive)),
     )
     return loss, d_packed
+
+
+def resize_up_native(src: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Batched bilinear upsample [B,h,w,C] -> [B,H,W,C] in the C++ worker
+    pool; == jax.image.resize method='linear' (half-pixel centers, edge
+    clamp; taps mirror losses/tree_energy_host.linear_resize_matrix)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no g++?)")
+    src = np.ascontiguousarray(src, np.float32)
+    B, h, w, C = src.shape
+    dst = np.empty((B, H, W, C), np.float32)
+    fn = lib.resize_up_host_native
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    fn.argtypes = [ctypes.POINTER(ctypes.c_float)] + [ctypes.c_int] * 4 + [
+        ctypes.POINTER(ctypes.c_float)] + [ctypes.c_int] * 2
+    fn(fp(src), B, h, w, C, fp(dst), H, W)
+    return dst
+
+
+def resize_adjoint_native(d: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Exact adjoint of resize_up_native: [B,H,W,C] cotangent -> [B,h,w,C]."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no g++?)")
+    d = np.ascontiguousarray(d, np.float32)
+    B, H, W, C = d.shape
+    out = np.empty((B, h, w, C), np.float32)
+    fn = lib.resize_adjoint_host_native
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    fn.argtypes = [ctypes.POINTER(ctypes.c_float)] + [ctypes.c_int] * 4 + [
+        ctypes.POINTER(ctypes.c_float)] + [ctypes.c_int] * 2
+    fn(fp(d), B, H, W, C, fp(out), h, w)
+    return out
+
+
+def tree_energy_chain_host_npacked(
+    low: np.ndarray,     # [B,V,D] float32 (V = full-res H*W)
+    packed: np.ndarray,  # [B,L] float32 or bfloat16 (ml_dtypes)
+    roi: np.ndarray,     # [B,V]
+    scale: float,
+    sigma: float,
+    eu: np.ndarray,
+    ev: np.ndarray,
+    hws,                 # [(H,W),(h1,w1),(h2,w2),(h3,w3)]
+    low_structure=None,
+    recursive: bool = True,
+):
+    """Native-resolution packed chain: ``packed`` carries [prob | aux1 |
+    aux2 | aux3] each flattened at its own resolution (block 0 = probs at
+    (H,W)). Aux blocks are bilinearly upsampled to full res inside the C++
+    workers (== jax resize 'linear'), the chain runs as usual, and the aux
+    cotangents return pulled back through the resize ADJOINT, re-packed in
+    the same flat layout — so both wire directions carry native-res bytes
+    (~42% smaller than the full-res packed format at the headline config).
+    Returns (per_image_loss float32 [B], d_packed float32 [B,L])."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no g++?)")
+    low = np.ascontiguousarray(low, np.float32)
+    roi = np.ascontiguousarray(roi, np.float32)
+    eu = np.ascontiguousarray(eu, np.int32)
+    ev = np.ascontiguousarray(ev, np.int32)
+    B, V, D = low.shape
+    (H, W) = hws[0]
+    assert V == H * W, (V, hws)
+    hws_arr = np.ascontiguousarray(np.asarray(hws, np.int32).reshape(8))
+    if packed.dtype == np.float32:
+        packed = np.ascontiguousarray(packed)
+        dtype_code = 0
+    else:
+        import ml_dtypes
+
+        assert packed.dtype == ml_dtypes.bfloat16, packed.dtype
+        packed = np.ascontiguousarray(packed)
+        dtype_code = 1
+    L = packed.shape[1]
+    C = L // sum(h * w for h, w in hws)
+    assert C * sum(h * w for h, w in hws) == L, (L, hws)
+    E = eu.shape[0]
+    loss = np.zeros((B,), np.float32)
+    d_packed = np.empty((B, L), np.float32)
+    fn = lib.tree_energy_chain_host_npacked
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    fn.argtypes = (
+        [ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,
+         ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_float]
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+        + [ctypes.c_int] * 5
+        + [ctypes.POINTER(ctypes.c_int)]
+        + [ctypes.POINTER(ctypes.c_float)] * 2
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+        + [ctypes.POINTER(ctypes.c_float)]
+        + [ctypes.c_int]
+    )
+    if low_structure is not None:
+        parent, order, w = low_structure
+        parent = np.ascontiguousarray(parent, np.int32)
+        order = np.ascontiguousarray(order, np.int32)
+        w = np.ascontiguousarray(w, np.float32)
+        lp, lo, lw = ip(parent), ip(order), fp(w)
+    else:
+        lp = lo = lw = None
+    fn(
+        fp(low), packed.ctypes.data_as(ctypes.c_void_p), fp(roi),
+        ctypes.c_float(scale), ctypes.c_float(sigma), ip(eu), ip(ev),
+        E, B, D, C, dtype_code, ip(hws_arr),
+        fp(loss), fp(d_packed), lp, lo, lw, int(bool(recursive)),
+    )
+    return loss, d_packed

@@ -753,3 +753,211 @@ void tree_energy_chain_host_packed(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native-resolution packed chain: the split trainer's low-bandwidth wire
+// format. The device ships ONE flat (B, L) array per chunk with the four
+// blocks [prob(H,W,C) | aux1(h1,w1,C) | aux2 | aux3] each flattened at its
+// own (decoder-native) resolution; the aux blocks are bilinearly upsampled
+// to (H,W) HERE — exactly jax.image.resize 'linear' (half-pixel centers,
+// edge clamp; taps replicate losses/tree_energy_host.linear_resize_matrix's
+// float accumulation) — and the aux cotangents are pulled back through the
+// resize ADJOINT and re-packed in the same layout, so the device injects
+// them at native resolution (equivalent by linearity). This cuts the
+// device<->host bytes ~42% at the headline config vs full-res shipping,
+// for a few ms of 4-tap arithmetic per image.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct LinearTaps {
+  std::vector<int> a, b;
+  std::vector<float> wa, wb;
+};
+
+// jax.image.resize method='linear' sampling: out[i] reads in[a] * (1-f) +
+// in[b] * f at pos = (i+0.5)*n_in/n_out - 0.5 with edge clamp; when the
+// clamp makes a == b the taps merge ((1-f)+f in float, matching the
+// matrix-path accumulation order bit-for-bit).
+LinearTaps make_linear_taps(int n_out, int n_in) {
+  LinearTaps t;
+  t.a.resize(n_out);
+  t.b.resize(n_out);
+  t.wa.resize(n_out);
+  t.wb.resize(n_out);
+  double scale = (double)n_in / (double)n_out;
+  for (int i = 0; i < n_out; ++i) {
+    double pos = ((double)i + 0.5) * scale - 0.5;
+    int j0 = (int)std::floor(pos);
+    double f = pos - (double)j0;
+    int a = j0 < 0 ? 0 : (j0 > n_in - 1 ? n_in - 1 : j0);
+    int b = j0 + 1 < 0 ? 0 : (j0 + 1 > n_in - 1 ? n_in - 1 : j0 + 1);
+    if (a == b) {
+      t.a[i] = a;
+      t.b[i] = a;
+      t.wa[i] = (float)(1.0 - f) + (float)f;
+      t.wb[i] = 0.0f;
+    } else {
+      t.a[i] = a;
+      t.b[i] = b;
+      t.wa[i] = (float)(1.0 - f);
+      t.wb[i] = (float)f;
+    }
+  }
+  return t;
+}
+
+// (h,w,C) -> (H,W,C), rows then columns (the numpy reference path's order).
+// tmp must hold H*w*C floats.
+void resize_up_one(const float* src, int h, int w, float* dst, int H, int W,
+                   int C, float* tmp) {
+  LinearTaps th = make_linear_taps(H, h), tw = make_linear_taps(W, w);
+  const size_t wc = (size_t)w * C;
+  for (int i = 0; i < H; ++i) {
+    const float* ra = src + (size_t)th.a[i] * wc;
+    const float* rb = src + (size_t)th.b[i] * wc;
+    float wa = th.wa[i], wb = th.wb[i];
+    float* out = tmp + (size_t)i * wc;
+    for (size_t k = 0; k < wc; ++k) out[k] = wa * ra[k] + wb * rb[k];
+  }
+  for (int i = 0; i < H; ++i) {
+    const float* row = tmp + (size_t)i * wc;
+    float* out = dst + (size_t)i * W * C;
+    for (int j = 0; j < W; ++j) {
+      const float* ca = row + (size_t)tw.a[j] * C;
+      const float* cb = row + (size_t)tw.b[j] * C;
+      float wa = tw.wa[j], wb = tw.wb[j];
+      for (int c = 0; c < C; ++c)
+        out[(size_t)j * C + c] = wa * ca[c] + wb * cb[c];
+    }
+  }
+}
+
+// Exact adjoint of resize_up_one: (H,W,C) cotangent -> (h,w,C).
+// Applies the transposed taps in reverse order (columns^T then rows^T).
+// tmp must hold H*w*C floats.
+void resize_adjoint_one(const float* d, int H, int W, float* out, int h,
+                        int w, int C, float* tmp) {
+  LinearTaps th = make_linear_taps(H, h), tw = make_linear_taps(W, w);
+  const size_t wc = (size_t)w * C;
+  std::fill(tmp, tmp + (size_t)H * wc, 0.f);
+  for (int i = 0; i < H; ++i) {
+    const float* row = d + (size_t)i * W * C;
+    float* trow = tmp + (size_t)i * wc;
+    for (int j = 0; j < W; ++j) {
+      const float* s = row + (size_t)j * C;
+      float wa = tw.wa[j], wb = tw.wb[j];
+      float* ta = trow + (size_t)tw.a[j] * C;
+      for (int c = 0; c < C; ++c) ta[c] += wa * s[c];
+      if (wb != 0.f) {
+        float* tb = trow + (size_t)tw.b[j] * C;
+        for (int c = 0; c < C; ++c) tb[c] += wb * s[c];
+      }
+    }
+  }
+  std::fill(out, out + (size_t)h * wc, 0.f);
+  for (int i = 0; i < H; ++i) {
+    const float* trow = tmp + (size_t)i * wc;
+    float wa = th.wa[i], wb = th.wb[i];
+    float* oa = out + (size_t)th.a[i] * wc;
+    for (size_t k = 0; k < wc; ++k) oa[k] += wa * trow[k];
+    if (wb != 0.f) {
+      float* ob = out + (size_t)th.b[i] * wc;
+      for (size_t k = 0; k < wc; ++k) ob[k] += wb * trow[k];
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Standalone batched entry points (tests + the host python fallback).
+void resize_up_host_native(const float* src, int B, int h, int w, int C,
+                           float* dst, int H, int W) {
+  run_batch(B, [=](int b) {
+    std::vector<float> tmp((size_t)H * w * C);
+    resize_up_one(src + (size_t)b * h * w * C, h, w,
+                  dst + (size_t)b * H * W * C, H, W, C, tmp.data());
+  });
+}
+
+void resize_adjoint_host_native(const float* d, int B, int H, int W, int C,
+                                float* out, int h, int w) {
+  run_batch(B, [=](int b) {
+    std::vector<float> tmp((size_t)H * w * C);
+    resize_adjoint_one(d + (size_t)b * H * W * C, H, W,
+                       out + (size_t)b * h * w * C, h, w, C, tmp.data());
+  });
+}
+
+// hws: 8 ints h0,w0,h1,w1,h2,w2,h3,w3 (block 0 = probs at full res; V =
+// h0*w0). packed/d_packed: (B, L) with L = sum_k h_k*w_k*C. dtype code in
+// packed_is_bf16 (0 = f32, 1 = bf16 bit patterns); d_packed is always f32.
+void tree_energy_chain_host_npacked(
+    const float* low, const void* packed, const float* roi, float scale,
+    float sigma, const int* eu, const int* ev, int E, int B, int D, int C,
+    int packed_is_bf16, const int* hws, float* loss_out, float* d_packed,
+    const int* low_parent, const int* low_order, const float* low_w,
+    int recursive) {
+  const int H = hws[0], W = hws[1];
+  const int V = H * W;
+  size_t lens[4], offs[4];
+  size_t L = 0;
+  for (int k = 0; k < 4; ++k) {
+    lens[k] = (size_t)hws[2 * k] * hws[2 * k + 1] * C;
+    offs[k] = L;
+    L += lens[k];
+  }
+  run_batch(B, [=](int b) {
+    size_t ov = (size_t)b * V;
+    size_t op = (size_t)b * L;
+    std::vector<float> nat(L);
+    if (packed_is_bf16) {
+      const uint16_t* src = (const uint16_t*)packed + op;
+      for (size_t i = 0; i < L; ++i) {
+        uint32_t u = (uint32_t)src[i] << 16;
+        std::memcpy(&nat[i], &u, 4);
+      }
+    } else {
+      std::memcpy(nat.data(), (const float*)packed + op, L * sizeof(float));
+    }
+    std::vector<float> a_up(3 * (size_t)V * C);
+    std::vector<float> tmp;
+    const float* aux_ptr[3];
+    for (int k = 1; k < 4; ++k) {
+      int h = hws[2 * k], w = hws[2 * k + 1];
+      if (h == H && w == W) {
+        aux_ptr[k - 1] = nat.data() + offs[k];
+      } else {
+        tmp.resize((size_t)H * w * C);
+        float* dst = a_up.data() + (size_t)(k - 1) * V * C;
+        resize_up_one(nat.data() + offs[k], h, w, dst, H, W, C, tmp.data());
+        aux_ptr[k - 1] = dst;
+      }
+    }
+    std::vector<float> dp((size_t)V * C, 0.f), d1((size_t)V * C, 0.f),
+        d2((size_t)V * C, 0.f), d3((size_t)V * C, 0.f);
+    chain_one(low + ov * D, nat.data() + offs[0], aux_ptr[0], aux_ptr[1],
+              aux_ptr[2], roi + ov, scale, sigma, eu, ev, E, V, D, C,
+              loss_out + b, dp.data(), d1.data(), d2.data(), d3.data(),
+              low_parent ? low_parent + ov : nullptr,
+              low_order ? low_order + ov : nullptr,
+              low_w ? low_w + ov : nullptr, recursive);
+    float* out = d_packed + op;
+    std::memcpy(out + offs[0], dp.data(), lens[0] * sizeof(float));
+    float* ds[3] = {d1.data(), d2.data(), d3.data()};
+    for (int k = 1; k < 4; ++k) {
+      int h = hws[2 * k], w = hws[2 * k + 1];
+      if (h == H && w == W) {
+        std::memcpy(out + offs[k], ds[k - 1], lens[k] * sizeof(float));
+      } else {
+        tmp.resize((size_t)H * w * C);
+        resize_adjoint_one(ds[k - 1], H, W, out + offs[k], h, w, C,
+                           tmp.data());
+      }
+    }
+  });
+}
+
+}  // extern "C"

@@ -121,3 +121,31 @@ def test_batcher_replay_and_epoch_regen():
     # label ignore-fill stays within [0, num_classes]
     lab = np.asarray(b.batch_at(1)["label"])
     assert lab.max() <= 2
+
+
+def test_synthetic_sup_type_shapes():
+    """Each synthetic sup type yields a validly-shaped partial label:
+    values in {0, 1, ignore}, labeled-pixel counts matching the type
+    (keypoint << scribble << block/box)."""
+    import numpy as np
+
+    nc = 2
+    counts = {}
+    for sup in ("scribble", "scribble_noisy", "keypoint", "box", "block"):
+        split = make_synthetic_split(3, 64, 64, 3, nc, seed=7, sup_type=sup)
+        lab = split.labels
+        assert set(np.unique(lab)) <= {0, 1, nc}
+        labeled = (lab != nc).sum(axis=(1, 2))
+        assert (labeled > 0).all(), sup
+        counts[sup] = labeled.mean()
+    assert counts["keypoint"] < counts["scribble"] <= counts["scribble_noisy"] * 1.01
+    # box labels the whole outside-bbox region; block a full quadrant
+    assert counts["box"] > counts["scribble"] * 10
+    assert counts["block"] == 64 * 64 / 4
+    # box: no foreground labels (bbox weak label marks background only)
+    box = make_synthetic_split(3, 64, 64, 3, nc, seed=7, sup_type="box")
+    assert (box.labels != 1).all()
+    # noisy scribble differs from clean scribble on some labeled pixels
+    a = make_synthetic_split(2, 64, 64, 3, nc, seed=9, sup_type="scribble")
+    b = make_synthetic_split(2, 64, 64, 3, nc, seed=9, sup_type="scribble_noisy")
+    assert (a.labels != b.labels).any()
