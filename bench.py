@@ -218,6 +218,10 @@ def main():
         "amp": amp,
         "n_distinct_batches": n_batches,
         "transfer_chunks": split_trainer._n_transfer_chunks(),
+        "ship_mode": getattr(round_fn, "parts", {}).get(
+            "ship_mode", os.environ.get("FEDICRA_AUX_SHIP", "full")
+        ),
+        "split_merged": os.environ.get("FEDICRA_SPLIT_MERGED", "1") == "1",
         "host_load_at_start": host_load_at_start,
         "backend": jax.default_backend(),
         "device_kind": jax.devices()[0].device_kind,

@@ -66,6 +66,35 @@ def client_to_domains(client: str, root: str) -> List[str]:
     raise ValueError(f"bad client key {client!r}")
 
 
+def _split_cache_path(root, client, split, sup_type, limit) -> Optional[str]:
+    """Decoded-split disk cache (watchdog relaunches / quiesce resumes
+    otherwise re-pay ~9 min of per-file h5py decode on the 1-core dev
+    host). Keyed by a digest of the per-domain file listing (name, size,
+    mtime), so any change to the source H5s misses. Default dir
+    ~/.cache/fedicra_tpu/datasets; FEDICRA_DATASET_CACHE_DIR= disables."""
+    import hashlib
+
+    d = os.environ.get("FEDICRA_DATASET_CACHE_DIR")
+    if d is None:
+        d = os.path.expanduser("~/.cache/fedicra_tpu/datasets")
+    if not d:
+        return None
+    h = hashlib.blake2b(digest_size=16)
+    subdir = "train" if split == "train" else "test"
+    try:
+        for dom in client_to_domains(client, root):
+            ddir = os.path.join(root, dom, subdir)
+            for fname in sorted(os.listdir(ddir)):
+                if not fname.endswith(".h5"):
+                    continue
+                st = os.stat(os.path.join(ddir, fname))
+                h.update(f"{dom}/{fname}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        return None
+    tag = f"{client}_{split}_{sup_type}_{limit}_{h.hexdigest()}"
+    return os.path.join(d, f"{tag}.npz")
+
+
 def load_client_split(
     root: str,
     client: str,
@@ -75,6 +104,17 @@ def load_client_split(
 ) -> ClientSplit:
     """Load one client's train or test split fully into memory."""
     import h5py
+
+    cache = _split_cache_path(root, client, split, sup_type, limit)
+    if cache:
+        try:
+            with np.load(cache, allow_pickle=False) as z:
+                return ClientSplit(
+                    images=z["images"], labels=z["labels"],
+                    case_names=[str(s) for s in z["names"]],
+                )
+        except (OSError, KeyError, ValueError):
+            pass
 
     subdir = "train" if split == "train" else "test"
     label_key = sup_type if split == "train" else "mask"
@@ -109,9 +149,19 @@ def load_client_split(
                 break
         if limit is not None and len(names) >= limit:
             break
-    return ClientSplit(
+    out = ClientSplit(
         images=np.stack(images), labels=np.stack(labels), case_names=names
     )
+    if cache:
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = f"{cache}.{os.getpid()}.tmp.npz"
+            np.savez(tmp, images=out.images, labels=out.labels,
+                     names=np.asarray(out.case_names))
+            os.replace(tmp, cache)  # atomic vs concurrent writers
+        except OSError:
+            pass
+    return out
 
 
 def make_synthetic_split(

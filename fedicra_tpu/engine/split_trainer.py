@@ -173,19 +173,23 @@ def make_split_round_fn(model, cfg: TrainConfig):
     tdtype = _transfer_dtype()
 
     # Aux-head shipping resolution / wire format:
-    #   'full' (default): aux heads resize to the output resolution ON
-    #     DEVICE (free under XLA) and ship packed as one (B,H,W,4C) array
-    #     per chunk; the host pays no resize.
-    #   'native': aux heads ship at decoder-native resolution, packed as
-    #     ONE flat (B, L) array per chunk (~42% fewer wire bytes at 384^2 —
-    #     the tunnel measures ~40 MB/s each way, probe table in
-    #     BASELINE.md); the C++ workers do the bilinear upsample and pull
-    #     the aux cotangents back through the resize ADJOINT (a few ms of
-    #     4-tap arithmetic per image — NOT the round-2 einsum regression,
-    #     which resized in numpy host-side).
+    #   'native' (default on accelerators): aux heads ship at decoder-native
+    #     resolution, packed as ONE flat (B, L) array per chunk (~42% fewer
+    #     wire bytes at 384^2 — the tunnel measures ~40 MB/s each way, probe
+    #     table in BASELINE.md; measured fetch 2.01 -> 0.75 s, upload 1.40
+    #     -> 1.07 s); the C++ workers do the bilinear upsample and pull the
+    #     aux cotangents back through the resize ADJOINT (a few ms of 4-tap
+    #     arithmetic per image — NOT the round-2 einsum regression, which
+    #     resized in numpy host-side).
+    #   'full' (default on CPU): aux heads resize to the output resolution
+    #     ON DEVICE (free under XLA) and ship packed as one (B,H,W,4C)
+    #     array per chunk; the host pays no resize. CPU default because the
+    #     in-process "wire" is free there and tests pin split==monolithic
+    #     through the device-resize formulation.
     #   'native_unpacked': legacy 4-array ship (kept as the simple
     #     reference path; unchunked, one RTT per array).
-    ship_mode = os.environ.get("FEDICRA_AUX_SHIP", "full")
+    default_ship = "full" if jax.default_backend() == "cpu" else "native"
+    ship_mode = os.environ.get("FEDICRA_AUX_SHIP", default_ship)
     aux_full = ship_mode == "full"
     native_packed = ship_mode == "native"
     n_chunks = _n_transfer_chunks() if (aux_full or native_packed) else 1

@@ -149,3 +149,38 @@ def test_synthetic_sup_type_shapes():
     a = make_synthetic_split(2, 64, 64, 3, nc, seed=9, sup_type="scribble")
     b = make_synthetic_split(2, 64, 64, 3, nc, seed=9, sup_type="scribble_noisy")
     assert (a.labels != b.labels).any()
+
+
+def test_dataset_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """The decoded-split disk cache returns identical data on a warm load,
+    and any change to a source H5 (size/mtime digest) misses the cache."""
+    import h5py
+    import numpy as np
+
+    from fedicra_tpu.data.h5io import load_client_split
+
+    root = tmp_path / "root"
+    ddir = root / "Domain1" / "train"
+    ddir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        with h5py.File(ddir / f"case{i}.h5", "w") as f:
+            f["image"] = rng.random((8, 8, 3)).astype("float32")
+            f["scribble"] = rng.integers(0, 3, size=(8, 8)).astype("uint8")
+    cache_dir = tmp_path / "cache"
+    monkeypatch.setenv("FEDICRA_DATASET_CACHE_DIR", str(cache_dir))
+
+    a = load_client_split(str(root), "client1", "train", "scribble")
+    assert len(list(cache_dir.glob("*.npz"))) == 1
+    b = load_client_split(str(root), "client1", "train", "scribble")
+    np.testing.assert_array_equal(a.images, b.images)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    assert a.case_names == b.case_names
+
+    # mutate one source file -> digest changes -> cache misses, data fresh
+    with h5py.File(ddir / "case0.h5", "w") as f:
+        f["image"] = np.zeros((8, 8, 3), "float32")
+        f["scribble"] = np.zeros((8, 8), "uint8")
+    c = load_client_split(str(root), "client1", "train", "scribble")
+    assert len(list(cache_dir.glob("*.npz"))) == 2
+    assert float(c.images[0].sum()) == 0.0
