@@ -480,8 +480,9 @@ def make_split_round_fn(model, cfg: TrainConfig):
         all_metrics = []
         for i in range(n_iters):
             if verbose:
+                stage = "partF" if merged else "part2a"
                 print(f"[split {time.strftime('%H:%M:%S')} it={it} "
-                      f"i={i}/{n_iters}] dispatch part2a"
+                      f"i={i}/{n_iters}] dispatch {stage}"
                       + (" (may compile)" if i == 0 else ""), flush=True)
             batch = {
                 "image": batches["image"][i],

@@ -42,6 +42,7 @@ def main():
     )
     from fedicra_tpu.engine.trainer import _adamw, _masked_opt, poly_lr
     from fedicra_tpu.losses.tree_energy_host import (
+        multi_scale_tree_loss_host_npacked,
         multi_scale_tree_loss_host_packed,
     )
     from fedicra_tpu.models import net_factory
@@ -74,6 +75,19 @@ def main():
     part2a, part2b = parts["part2a"], parts["part2b_full"]
     partF, merged = parts["partF"], parts["merged"]
     n_chunks, tdtype = parts["n_chunks"], parts["tdtype"]
+    ship_mode = parts["ship_mode"]
+    ship_shapes = parts["ship_shapes"]  # filled at first partF/part2a trace
+
+    def chain_call(arr, lo, hi, rois, low, n_roi):
+        if ship_mode == "native":
+            return multi_scale_tree_loss_host_npacked(
+                arr, low[lo:hi], rois[lo:hi], cfg.tree_loss_weight,
+                list(ship_shapes), recursive=True, roi_total=n_roi,
+            )
+        return multi_scale_tree_loss_host_packed(
+            arr, low[lo:hi], rois[lo:hi], cfg.tree_loss_weight,
+            recursive=True, roi_total=n_roi,
+        )
 
     rng = np.random.default_rng(0)
     img_np = rng.uniform(size=(batch, img, img, cfg.in_chns)).astype(np.float32)
@@ -103,10 +117,7 @@ def main():
     bounds = _chunk_bounds(batch, n_chunks)
     n_roi = float(rois.sum(dtype=np.float32))
     chain_out = [
-        multi_scale_tree_loss_host_packed(
-            arr, low[lo:hi], rois[lo:hi], cfg.tree_loss_weight,
-            recursive=True, roi_total=n_roi,
-        )
+        chain_call(arr, lo, hi, rois, low, n_roi)
         for arr, (lo, hi) in zip(ship_np, bounds)
     ]
     tree_val = float(np.concatenate([c[0] for c in chain_out]).sum())
@@ -127,7 +138,7 @@ def main():
     wire_bytes = sum(c.nbytes for c in ship_np)
     res = {"img": img, "batch": batch, "n_chunks": n_chunks,
            "tdtype": str(np.dtype(tdtype)), "wire_mb": round(wire_bytes / 1e6, 2),
-           "amp": cfg.amp}
+           "amp": cfg.amp, "ship_mode": ship_mode}
 
     def med(f, n=reps):
         ts = []
@@ -176,10 +187,7 @@ def main():
     # ---- host_chain (warm low-tree cache) ----
     def f_chain():
         for arr, (lo, hi) in zip(ship_np, bounds):
-            multi_scale_tree_loss_host_packed(
-                arr, low[lo:hi], rois[lo:hi], cfg.tree_loss_weight,
-                recursive=True, roi_total=n_roi,
-            )
+            chain_call(arr, lo, hi, rois, low, n_roi)
 
     res["host_chain"], res["host_chain_all"] = med(f_chain)
 
