@@ -211,10 +211,33 @@ def main(argv=None):
         jnp.zeros((1, split.images.shape[1], split.images.shape[2], in_chns)),
         train=False,
     )
-    payload = ckpt.restore_best_global(
-        {"params": variables["params"],
-         "batch_stats": variables.get("batch_stats", {})}
-    )
+    # The reference's test.py loads the PER-CLIENT best model
+    # (client_{N}_{model}_best_model.pth, saved for every client at the
+    # round the weighted mean dice peaked — flower_common.py:352-365,
+    # test.py:264-265). Personalized strategies make this essential: the
+    # aggregated global model can be far worse than the client-adapted
+    # ones. Fall back to best_global for client_all / centralized runs.
+    template = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})}
+    payload = None
+    if args.client != "client_all":
+        cid = int(args.client[len("client"):])
+        state_template = {
+            "params": template["params"],
+            "batch_stats": template["batch_stats"],
+            "current_iter": jnp.zeros((), jnp.int32),
+            "rng": jax.random.PRNGKey(0),
+        }
+        try:
+            state = ckpt.restore_best_client(cid, state_template)
+            payload = {"params": state["params"],
+                       "batch_stats": state["batch_stats"]}
+            print(f"init weight from best_client_{cid}")
+        except FileNotFoundError:
+            pass
+    if payload is None:
+        payload = ckpt.restore_best_global(template)
+        print("init weight from best_global")
 
     test_save_path = os.path.join(args.snapshot_root, f"{args.exp}_test", args.client)
     if os.path.exists(test_save_path):

@@ -70,3 +70,13 @@ class CheckpointManager:
 
     def restore_best_global(self, template) -> Any:
         return self._restore("best_global", {"payload": template})["payload"]
+
+    def restore_best_client(self, cid: int, state_template: Dict) -> Any:
+        """Per-client best state saved at the global-best round (the
+        reference snapshots EVERY client's current model when the weighted
+        mean dice peaks — flower_common.py:352-365 — and test.py loads
+        client_{N}_{model}_best_model.pth). ``state_template``: a
+        ClientState._asdict()-shaped tree."""
+        return self._restore(f"best_client_{cid}", {"state": state_template})[
+            "state"
+        ]

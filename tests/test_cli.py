@@ -67,3 +67,62 @@ def test_task_tables_match_reference(img_class, n_clients, capsys):
     assert [
         t["sup_types"][f"client{i + 1}"] for i in range(n_clients)
     ] == expected
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_offline_test_cli_loads_per_client_best(tmp_path, monkeypatch):
+    """End-to-end: a short federated run snapshots best_global +
+    best_client_*; the offline test CLI must load the PER-CLIENT best model
+    (reference test.py:264-265 loads client_{N}_{model}_best_model.pth) and
+    emit result.csv / mean_std_result.csv / pre/*.png."""
+    import h5py
+    import numpy as np
+
+    from fedicra_tpu.cli import test as tcli
+    from fedicra_tpu.engine import TrainConfig
+    from fedicra_tpu.federation import build_experiment
+
+    # synthetic H5 root shaped like FAZ (5 domains, 1-channel, 2 classes)
+    root = tmp_path / "FAZ_h5"
+    rng = np.random.default_rng(0)
+    for d in range(1, 6):
+        for sub in ("train", "test"):
+            ddir = root / f"Domain{d}" / sub
+            ddir.mkdir(parents=True)
+            for i in range(3):
+                with h5py.File(ddir / f"case{i}.h5", "w") as f:
+                    img = rng.random((16, 16), np.float32)
+                    f["image"] = img
+                    f["mask"] = (img > 0.5).astype(np.uint8)
+                    lab = np.full((16, 16), 2, np.uint8)
+                    lab[::5, ::5] = 1
+                    lab[1::5, 2::5] = 0
+                    for key in ("scribble", "scribble_noisy", "keypoint",
+                                "block", "box"):
+                        f[key] = lab
+
+    cfg = TrainConfig.for_task(
+        "faz", img_size=16, batch_size=2, iters=2, rep_iters=1,
+        max_iterations=20, strategy="FedICRA", procedure="pce",
+        model="unet_lc_multihead", eval_iters=2,
+    )
+    snap = tmp_path / "model" / "exp1"
+    server = build_experiment(cfg, data_root=str(tmp_path),
+                              snapshot_dir=str(snap))
+    server.run(num_rounds=4)
+    assert (snap / "best_global").exists()
+    assert (snap / "best_client_0").exists()
+
+    tcli.main([
+        "--root_path", str(tmp_path), "--img_class", "faz",
+        "--client", "client0", "--exp", "exp1",
+        "--snapshot_root", str(tmp_path / "model"),
+        "--model", "unet_lc_multihead",
+    ])
+    out = tmp_path / "model" / "exp1_test" / "client0"
+    assert (out / "result.csv").exists()
+    assert (out / "mean_std_result.csv").exists()
+    assert list((out / "pre").glob("*.png"))
