@@ -187,6 +187,10 @@ def _client_proc(args, procedure, cid):
     model = net_factory(cfg.model, in_chns=cfg.in_chns, class_num=cfg.num_classes,
                         num_clients=cfg.num_clients)
     splits = load_task_splits(cfg, args.root_path)
+    # client-side own-best checkpoints land in the shared snapshot dir, like
+    # the reference's per-process clients writing to one snapshot_path
+    from ..utils.checkpoint import CheckpointManager
+
     client = FederatedClient(
         cid=cid,
         cfg=cfg,
@@ -196,6 +200,7 @@ def _client_proc(args, procedure, cid):
         round_fn=build_round_fn(model, cfg),
         ala_epoch_fn=make_ala_epoch_fn(model, cfg) if cfg.fedicra else None,
         init_state=init_client_state(model, cfg),
+        ckpt=CheckpointManager(os.path.join("../model", args.exp)),
     )
     serve_client(client, "127.0.0.1", args.port)
 

@@ -168,7 +168,12 @@ def main(argv=None):
     )
     if args.resume:
         server.try_resume()
-    history = server.run(num_rounds=args.stop_after)
+    # cooperative quiesce: when a benchmark/dryrun takes the box, finish the
+    # current round, write a resume snapshot, and exit 0 (the watchdog
+    # relaunches with --resume after the sentinel clears)
+    from ..utils.quiesce import quiesce_requested
+
+    history = server.run(num_rounds=args.stop_after, stop_fn=quiesce_requested)
     if history:
         last = {k: v for k, v in history[-1].items() if isinstance(v, float)}
         print(json.dumps({"final": last, "best_dice": server.best_dice}))

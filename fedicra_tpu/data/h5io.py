@@ -80,6 +80,10 @@ def _split_cache_path(root, client, split, sup_type, limit) -> Optional[str]:
     if not d:
         return None
     h = hashlib.blake2b(digest_size=16)
+    # decode-logic version: bump whenever label decoding (e.g. the
+    # random_walker thresholding) changes, so warm caches can't silently
+    # serve splits decoded by older logic
+    h.update(b"decode-v1")
     subdir = "train" if split == "train" else "test"
     try:
         for dom in client_to_domains(client, root):

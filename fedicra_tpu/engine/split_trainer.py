@@ -539,6 +539,18 @@ def make_split_round_fn(model, cfg: TrainConfig):
                             # additionally keeps aux blocks at decoder
                             # resolution on the wire (C++ resize+adjoint).
                             if native_packed:
+                                # guard against a stale trace-time capture:
+                                # ship_shapes is recorded at the FIRST
+                                # _pack_ship trace; a retrace at another
+                                # spatial resolution must fail loudly here,
+                                # not deinterleave into garbage cotangents
+                                want = cfg.num_classes * sum(
+                                    h * w for h, w in ship_shapes
+                                )
+                                assert arr.shape[1] == want, (
+                                    f"packed wire length {arr.shape[1]} != "
+                                    f"{want} from ship_shapes {ship_shapes}"
+                                )
                                 res = multi_scale_tree_loss_host_npacked(
                                     arr,
                                     low[lo:hi],

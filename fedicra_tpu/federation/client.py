@@ -40,6 +40,7 @@ class FederatedClient:
         round_fn: Callable,
         ala_epoch_fn: Optional[Callable],
         init_state: ClientState,
+        ckpt=None,
     ):
         self.cid = cid
         self.cfg = cfg
@@ -69,6 +70,9 @@ class FederatedClient:
         self.val_split = val_split
         self.start_phase = True
         self.best_performance = 0.0
+        # client-side own-best checkpointing (flower_common.py:106-114):
+        # saved from evaluate() whenever THIS client's val_mean_dice improves
+        self.ckpt = ckpt
         self._rng = jax.random.PRNGKey(cfg.seed * 7919 + cid)
 
     @property
@@ -167,6 +171,16 @@ class FederatedClient:
         new_best = val_metrics["val_mean_dice"] > self.best_performance
         if new_best:
             self.best_performance = val_metrics["val_mean_dice"]
+            if self.ckpt is not None:
+                # reference semantics: the client persists ITS OWN state at
+                # ITS OWN best val dice, right after set_weights+validate —
+                # self.state holds exactly the evaluated (ALA-merged) model
+                self.ckpt.save_client_best(
+                    self.cid,
+                    self.state,
+                    int(ins.config.get("iter_global", 0)),
+                    self.best_performance,
+                )
         prefixed = {f"client_{self.cid}_{k}": v for k, v in val_metrics.items()}
         prefixed[f"client_{self.cid}_new_best"] = float(new_best)
         return EvaluateRes(

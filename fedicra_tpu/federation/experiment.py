@@ -78,6 +78,14 @@ def build_experiment(
     if splits is None:
         splits = load_task_splits(cfg, data_root, limit_per_client)
 
+    # one manager shared by the server (aggregate best, periodic, resume)
+    # and the clients (client-side own-best, flower_common.py:106-114)
+    ckpt = None
+    if snapshot_dir:
+        from ..utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(snapshot_dir)
+
     clients: List[FederatedClient] = []
     for cid in range(cfg.num_clients):
         clients.append(
@@ -90,6 +98,7 @@ def build_experiment(
                 round_fn=round_fn,
                 ala_epoch_fn=ala_fn,
                 init_state=init_state,
+                ckpt=ckpt,
             )
         )
 
@@ -106,6 +115,7 @@ def build_experiment(
         snapshot_dir=snapshot_dir,
         writer=MetricsWriter(snapshot_dir),
         central_eval_fn=make_central_eval_fn(model, cfg, splits),
+        ckpt=ckpt,
     )
 
 

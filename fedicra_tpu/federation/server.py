@@ -9,13 +9,19 @@ Mirrors MyServer.fit (flower_common.py:191-390):
   (get_evaluate_metrics_aggregation_fn, :398-428);
 - best-dice and periodic (every 3000 iters) checkpoints (:341-381).
 
+Checkpoint split (reference semantics, fixed in round 5):
+- the SERVER saves the aggregate-best artifact: the global payload at the
+  round where the weighted mean val dice peaked (best_global + best_info);
+- each CLIENT saves its own state at its own best val_mean_dice
+  (best_client_{cid}, written from FederatedClient.evaluate — the
+  reference's client-side best checkpoint, flower_common.py:106-114, which
+  test.py loads for the paper tables).
+
 Improvements over the reference (documented deviations):
-- per-client best checkpoints store the *personalized* client states; the
-  reference's get_client_state_dict has an empty local_keys list so its
-  "client" checkpoints are bit-identical to the global one (quirk #5) — we
-  fix rather than replicate, since replicating loses information and affects
-  no training trajectory;
-- full resume support (server + client states), absent in the reference.
+- full resume support (server + client states), absent in the reference;
+- cooperative stop: ``run(stop_fn=...)`` lets a supervisor (watchdog
+  quiesce, budgeted segment) end the run at a round boundary with a fresh
+  resume snapshot instead of SIGKILL.
 """
 
 from __future__ import annotations
@@ -47,6 +53,7 @@ class FederatedServer:
         snapshot_dir: Optional[str] = None,
         writer: Optional[MetricsWriter] = None,
         central_eval_fn=None,
+        ckpt: Optional[CheckpointManager] = None,
     ):
         self.cfg = cfg
         self.clients = clients
@@ -58,7 +65,9 @@ class FederatedServer:
         # MyServer.fit (:288-301). Signature: payload -> Dict[str, float].
         self.central_eval_fn = central_eval_fn
         self.writer = writer or MetricsWriter(snapshot_dir)
-        self.ckpt = CheckpointManager(snapshot_dir) if snapshot_dir else None
+        if ckpt is None and snapshot_dir:
+            ckpt = CheckpointManager(snapshot_dir)
+        self.ckpt = ckpt
         self.best_dice = 0.0
         self.current_round = 0  # in global-iteration units
         self.history: List[Dict] = []
@@ -214,13 +223,33 @@ class FederatedServer:
         all_metrics.update(agg)
         return all_metrics
 
-    def run(self, num_rounds: Optional[int] = None, progress: bool = True):
-        """Run the federated loop for ``num_rounds`` global iterations."""
+    def run(
+        self,
+        num_rounds: Optional[int] = None,
+        progress: bool = True,
+        stop_fn=None,
+    ):
+        """Run the federated loop for ``num_rounds`` global iterations.
+
+        ``stop_fn``: optional zero-arg callable polled at every round
+        boundary; when it returns True the loop writes a resume snapshot and
+        exits cleanly (used by the watchdog's quiesce protocol so a
+        benchmark taking the box ends the child gracefully, not by
+        SIGKILL)."""
         max_iters = num_rounds or self.cfg.max_iterations
         start = self.current_round + self.cfg.iters
         t0 = time.perf_counter()
         consecutive_failures = 0
         for current_round in range(start, max_iters + self.cfg.iters, self.cfg.iters):
+            if stop_fn is not None and stop_fn():
+                if self.ckpt:
+                    self.ckpt.save_resume(self._resume_state())
+                print(
+                    f"[round {current_round}] stop requested; resume "
+                    f"snapshot written at iteration {self.current_round}",
+                    flush=True,
+                )
+                break
             round_t0 = time.perf_counter()
             fit_metrics = self.fit_round(current_round)
             self.current_round = current_round
@@ -271,10 +300,7 @@ class FederatedServer:
                     self.best_dice = mean_dice
                     if self.ckpt:
                         self.ckpt.save_best(
-                            self.global_payload,
-                            {c.cid: c.state for c in self.clients},
-                            current_round,
-                            mean_dice,
+                            self.global_payload, current_round, mean_dice
                         )
             if self.ckpt and current_round % getattr(self.cfg, "ckpt_iters", 3000) == 0:
                 self.ckpt.save_periodic(

@@ -49,12 +49,26 @@ class CheckpointManager:
             return self._ckptr.restore(path, target=_to_numpy(target))
         raise FileNotFoundError(path)
 
-    def save_best(self, global_payload, client_states: Dict, round_idx: int, dice: float):
+    def save_best(self, global_payload, round_idx: int, dice: float):
+        """Server-side AGGREGATE-best artifact: the global payload at the
+        round where the weighted mean val dice peaked. Per-client states are
+        NOT snapshotted here — each client saves its own best via
+        :meth:`save_client_best` (reference semantics)."""
         self._save("best_global", {"payload": global_payload})
-        for cid, state in client_states.items():
-            self._save(f"best_client_{cid}", {"state": state._asdict()})
         with open(os.path.join(self.directory, "best_info.txt"), "w") as f:
             f.write(f"round={round_idx} dice={dice:.6f}\n")
+
+    def save_client_best(self, cid: int, state, round_idx: int, dice: float):
+        """Client-side own-best checkpoint: client ``cid``'s state at ITS OWN
+        best ``val_mean_dice`` (the reference's BaseClient._validate saves
+        client_{cid}_..._best_model.pth whenever its own metric improves,
+        flower_common.py:106-114). ``state``: a ClientState namedtuple. The
+        info file appends one line per improvement (the reference keeps
+        timestamped .pth copies; a history line records the same facts)."""
+        self._save(f"best_client_{cid}", {"state": state._asdict()})
+        info = os.path.join(self.directory, f"best_client_{cid}_info.txt")
+        with open(info, "a") as f:
+            f.write(f"iter={round_idx} dice={dice:.6f}\n")
 
     def save_periodic(self, global_payload, client_states: Dict, round_idx: int):
         self._save(f"iter_{round_idx}_global", {"payload": global_payload})
@@ -72,11 +86,11 @@ class CheckpointManager:
         return self._restore("best_global", {"payload": template})["payload"]
 
     def restore_best_client(self, cid: int, state_template: Dict) -> Any:
-        """Per-client best state saved at the global-best round (the
-        reference snapshots EVERY client's current model when the weighted
-        mean dice peaks — flower_common.py:352-365 — and test.py loads
-        client_{N}_{model}_best_model.pth). ``state_template``: a
-        ClientState._asdict()-shaped tree."""
+        """Client ``cid``'s own-best state (saved by :meth:`save_client_best`
+        when that client's own val_mean_dice improved — the reference's
+        client-side best checkpoint, flower_common.py:106-114, which test.py
+        then loads as client_{N}_{model}_best_model.pth).
+        ``state_template``: a ClientState._asdict()-shaped tree."""
         return self._restore(f"best_client_{cid}", {"state": state_template})[
             "state"
         ]

@@ -297,3 +297,86 @@ def test_server_resume_continues_identically(tmp_path):
     for k in last_full:
         np.testing.assert_allclose(last_b[k], last_full[k], rtol=1e-5,
                                    atol=1e-6, err_msg=k)
+
+
+def test_client_side_own_best_checkpoints(tmp_path, monkeypatch):
+    """Reference semantics (flower_common.py:106-114): each client saves ITS
+    OWN state at ITS OWN best val_mean_dice, from its own evaluate call —
+    NOT a server-side snapshot at the aggregate-best round. Scripted dice
+    values verify the persisted checkpoint is the state the client held at
+    its own peak, that a worse eval does not overwrite it, and that the
+    server's aggregate-best artifact is global-payload-only."""
+    from fedicra_tpu.federation import client as client_mod
+    from fedicra_tpu.federation.api import EvaluateIns
+
+    cfg = _tiny_cfg(strategy="FedAvg", procedure="pce",
+                    model="unet_lc_multihead")
+    d = str(tmp_path / "snap")
+    server = build_experiment(cfg, snapshot_dir=d, limit_per_client=4)
+    cl = server.clients[0]
+    assert cl.ckpt is not None
+
+    scripted = {"dice": 0.0}
+
+    def fake_eval(model, params, stats, images, labels, num_classes,
+                  emb_idx=0):
+        return {"mean_dice": scripted["dice"]}
+
+    monkeypatch.setattr(client_mod, "evaluate_client", fake_eval)
+
+    def payload_const(c):
+        return {
+            "params": jax.tree.map(
+                lambda x: jnp.full_like(x, c), server.global_payload["params"]
+            ),
+            "batch_stats": server.global_payload["batch_stats"],
+        }
+
+    # first eval: dice 0.3 at iter 20 with params=1 -> saved
+    scripted["dice"] = 0.3
+    cl.evaluate(EvaluateIns(payload_const(1.0), {"iter_global": 20}))
+    # worse eval: dice 0.2 with params=2 -> NOT saved
+    scripted["dice"] = 0.2
+    cl.evaluate(EvaluateIns(payload_const(2.0), {"iter_global": 40}))
+    got = cl.ckpt.restore_best_client(0, cl.state._asdict())
+    for leaf in jax.tree.leaves(got["params"]):
+        np.testing.assert_array_equal(np.asarray(leaf), 1.0)
+    # better eval: dice 0.5 with params=3 -> overwritten
+    scripted["dice"] = 0.5
+    cl.evaluate(EvaluateIns(payload_const(3.0), {"iter_global": 60}))
+    got = cl.ckpt.restore_best_client(0, cl.state._asdict())
+    for leaf in jax.tree.leaves(got["params"]):
+        np.testing.assert_array_equal(np.asarray(leaf), 3.0)
+    info = (tmp_path / "snap" / "best_client_0_info.txt").read_text()
+    assert info.splitlines() == ["iter=20 dice=0.300000",
+                                 "iter=60 dice=0.500000"]
+    # the server's aggregate-best artifact stays global-only: save_best
+    # writes best_global + best_info, never best_client_*
+    import os as _os
+
+    server.ckpt.save_best(server.global_payload, 60, 0.5)
+    assert (tmp_path / "snap" / "best_global").exists()
+    assert not _os.path.exists(tmp_path / "snap" / "best_client_1")
+
+
+def test_server_graceful_stop_fn(tmp_path):
+    """run(stop_fn=...) ends the loop at a round boundary with a fresh
+    resume snapshot (the watchdog-quiesce cooperative-stop path; round-4
+    forensics showed the SIGKILL alternative losing up to ckpt_iters of
+    work and recording rc=-9)."""
+    cfg = _tiny_cfg(strategy="FedAvg", procedure="pce",
+                    model="unet_lc_multihead", ckpt_iters=1000)
+    d = str(tmp_path / "snap")
+    server = build_experiment(cfg, snapshot_dir=d, limit_per_client=4)
+    calls = {"n": 0}
+
+    def stop_after_one():
+        calls["n"] += 1
+        return calls["n"] > 1  # allow round 1, stop before round 2
+
+    server.run(num_rounds=100, progress=False, stop_fn=stop_after_one)
+    assert server.current_round == cfg.iters  # exactly one round ran
+    # the stop path wrote a resume snapshot despite ckpt_iters never firing
+    s2 = build_experiment(cfg, snapshot_dir=d, limit_per_client=4)
+    assert s2.try_resume()
+    assert s2.current_round == cfg.iters

@@ -88,15 +88,23 @@ def test_best_checkpoint_and_reload(tmp_path):
 
     cm = CheckpointManager(str(tmp_path))
     payload = {"params": {"w": jnp.ones(3) * 2}, "batch_stats": {}}
-    states = {
-        0: ClientState(
-            params={"w": jnp.ones(3)},
-            batch_stats={},
-            current_iter=jnp.asarray(10),
-            rng=jax.random.PRNGKey(0),
-        )
-    }
-    cm.save_best(payload, states, round_idx=20, dice=0.5)
+    cm.save_best(payload, round_idx=20, dice=0.5)
     back = cm.restore_best_global({"params": {"w": jnp.zeros(3)}, "batch_stats": {}})
     np.testing.assert_array_equal(np.asarray(back["params"]["w"]), 2.0)
     assert os.path.exists(tmp_path / "best_info.txt")
+
+    # client-side own-best: saved and restored per client, with an
+    # append-mode history line per improvement
+    state = ClientState(
+        params={"w": jnp.ones(3)},
+        batch_stats={},
+        current_iter=jnp.asarray(10),
+        rng=jax.random.PRNGKey(0),
+    )
+    cm.save_client_best(0, state, round_idx=20, dice=0.31)
+    cm.save_client_best(0, state._replace(params={"w": jnp.ones(3) * 5}),
+                        round_idx=40, dice=0.62)
+    got = cm.restore_best_client(0, state._asdict())
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]), 5.0)
+    info = (tmp_path / "best_client_0_info.txt").read_text().splitlines()
+    assert info == ["iter=20 dice=0.310000", "iter=40 dice=0.620000"]

@@ -744,12 +744,17 @@ def run_torch_fedicra_ours(
     ala_skip_iters,
     tree_weight=0.0,
     tree_sigma=0.02,
+    probe_fn=None,
 ):
     """The full FedICRA federated loop in torch: per-round ALA merge +
     head/body alternating AdamW phases + contrast + CRF + pCE (+ the dense-
     oracle MScaleRecurve tree term when tree_weight > 0), FedAvg aggregation
     of params and BN stats. Returns
-    (losses[cid][global_iter], final global flat params, gated param count)."""
+    (losses[cid][global_iter], final global flat params, gated param count).
+
+    ``probe_fn(models, it_global)``: optional observer called after every
+    round's aggregation (used by tools/collapse_xfw.py to record per-client
+    foreground-probability / dice trajectories without perturbing the loop)."""
     K = num_clients
     models = [
         TorchFedICRAUNet(flax_params, flax_stats, K, cid) for cid in range(K)
@@ -819,6 +824,8 @@ def run_torch_fedicra_ours(
             for j in range(len(global_s))
         ]
         it_global += iters
+        if probe_fn is not None:
+            probe_fn(models, it_global)
     return losses, global_p
 
 

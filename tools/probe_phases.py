@@ -164,10 +164,12 @@ def main():
     res["p2a_compute"], res["p2a_compute_all"] = med(f_p2a)
     res["merged"] = merged
 
-    # ---- pF_compute: forward-only dispatch, synced via a tiny slice ----
+    # ---- pF_compute: forward-only dispatch, synced via a tiny slice
+    # (shape-agnostic: ship chunks are (B,H,W,4C) full-res or (B,L) under
+    # the native wire format) ----
     def f_pF():
         out = partF(params, stats, k, batch_dev, cid)
-        t_scalar(out[0][0, 0, 0, 0])
+        t_scalar(out[0].ravel()[0])
 
     res["pF_compute"], res["pF_compute_all"] = med(f_pF)
 

@@ -71,6 +71,10 @@ def main():
                     "many quiet epochs)")
     ap.add_argument("--recover_sec", type=float, default=240,
                     help="wait after killing a wedged child (worker recovery)")
+    ap.add_argument("--quiesce_grace", type=float, default=300,
+                    help="seconds to let the child finish its round and "
+                    "exit on its own after a quiesce request (it polls the "
+                    "sentinel at round boundaries) before SIGKILL")
     ap.add_argument("--max_relaunch", type=int, default=40)
     ap.add_argument("--ckpt_iters", type=int, default=10,
                     help="resume-snapshot cadence passed to the trainer")
@@ -135,12 +139,22 @@ def main():
                 # TPU-worker wedge blocks on a dead RPC at ~0% CPU. Track
                 # utime+stime from /proc so only a *quiet* child is stale.
                 if quiesce_requested():
-                    # a benchmark/dryrun asked for the box: yield the chip
-                    # and the host core; relaunch-with-resume after it
-                    # clears (cheap: warm jit cache + round snapshots)
-                    plog(f"quiesce requested; killing child pid {child.pid}")
-                    child.send_signal(signal.SIGKILL)
-                    child.wait()
+                    # a benchmark/dryrun asked for the box: the trainer
+                    # polls the same sentinel at round boundaries
+                    # (server.run stop_fn) and exits rc=0 with a fresh
+                    # resume snapshot — give it a grace window before
+                    # escalating to SIGKILL (round-4 forensics: the
+                    # unconditional SIGKILL here produced the rc=-9 records)
+                    plog(f"quiesce requested; waiting up to "
+                         f"{args.quiesce_grace:.0f}s for child pid "
+                         f"{child.pid} to exit gracefully")
+                    try:
+                        child.wait(timeout=args.quiesce_grace)
+                        plog(f"child exited gracefully rc={child.returncode}")
+                    except subprocess.TimeoutExpired:
+                        plog(f"grace expired; killing child pid {child.pid}")
+                        child.send_signal(signal.SIGKILL)
+                        child.wait()
                     while quiesce_requested():
                         time.sleep(15.0)
                     plog("quiesce cleared")
