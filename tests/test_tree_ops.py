@@ -193,3 +193,35 @@ def test_tree_filter_wrapper_identity_weights():
     np.testing.assert_allclose(
         np.asarray(y), np.broadcast_to(np.asarray(x).mean(0), (V, 2)), rtol=1e-4
     )
+
+
+def test_dense_structure_fast_matches_reference():
+    """The torch-mirror dense oracle's Euler-tour + sparse-table LCA
+    structure (added for the cross-framework collapse experiment, where the
+    naive O(V^3) build dominated) must equal the naive reference build
+    elementwise — ancestor matrix and all-pairs LCA — on grid MSTs and on a
+    degenerate path tree."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_mirror import (
+        _dense_tree_structure,
+        _dense_tree_structure_ref,
+        _kruskal_bfs_parent,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for h, w in ((4, 5), (8, 8), (1, 9), (6, 11)):
+        feats = rng.normal(size=(h * w, 3)).astype(np.float32)
+        cases.append(_kruskal_bfs_parent(feats, h, w))
+    # path graph rooted at one end (worst-case depth)
+    path = np.arange(-1, 30, dtype=np.int64)
+    path[0] = 0
+    cases.append(path)
+    for parent in cases:
+        P_ref, L_ref = _dense_tree_structure_ref(parent)
+        P, L = _dense_tree_structure(parent)
+        np.testing.assert_array_equal(P, P_ref)
+        np.testing.assert_array_equal(L, L_ref)

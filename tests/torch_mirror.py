@@ -487,12 +487,10 @@ def _kruskal_bfs_parent(feats, h, w):
     return parent
 
 
-def _dense_tree_structure(parent):
-    """Static (weight-independent) structure for the dense filter: returns
-    (P float64 [V,V] ancestor-or-self indicator, L int64 [V,V] LCA index).
-    With g = P @ logw (logw[root] = 0 since its self-edge has zero feature
-    difference), the path-sum between i and j is g[i] + g[j] - 2 g[L[i,j]].
-    """
+def _dense_tree_structure_ref(parent):
+    """O(V^3) reference construction of the dense-filter structure (kept as
+    the oracle for _dense_tree_structure's Euler-tour fast path — see
+    tests/test_torch_oracles.py)."""
     V = len(parent)
     anc = np.zeros((V, V), dtype=bool)
     depth = np.zeros(V, dtype=np.int64)
@@ -510,6 +508,89 @@ def _dense_tree_structure(parent):
     for i in range(V):
         common = anc & anc[i]  # [V, V]: common[j, u] = u ancestor of both
         L[i] = np.where(common, depth[None, :], -1).argmax(1)
+    return anc.astype(np.float64), L
+
+
+def _dense_tree_structure(parent):
+    """Static (weight-independent) structure for the dense filter: returns
+    (P float64 [V,V] ancestor-or-self indicator, L int64 [V,V] LCA index).
+    With g = P @ logw (logw[root] = 0 since its self-edge has zero feature
+    difference), the path-sum between i and j is g[i] + g[j] - 2 g[L[i,j]].
+
+    All-pairs LCA via an iterative Euler tour + sparse-table RMQ
+    (O(V^2 log V) instead of the naive O(V^3) common-ancestor argmax, which
+    dominated the dense oracle's cost at V >= 24^2); the ancestor-or-self
+    matrix by vectorized pointer walking. Output equals
+    _dense_tree_structure_ref exactly (the LCA of a pair in a rooted tree
+    is unique, so every correct method agrees elementwise).
+    """
+    parent = np.asarray(parent, dtype=np.int64)
+    V = len(parent)
+    root = int(np.nonzero(parent == np.arange(V))[0][0])
+    kids = [[] for _ in range(V)]
+    for v in range(V):
+        if v != root:
+            kids[int(parent[v])].append(v)
+    # iterative Euler tour: node appended at first visit and after each
+    # child's subtree returns -> length 2V-1
+    M = 2 * V - 1
+    E = np.empty(M, dtype=np.int64)
+    D = np.empty(M, dtype=np.int64)
+    F = np.empty(V, dtype=np.int64)  # first occurrence of v in E
+    stack = [(root, iter(kids[root]))]
+    F[root] = 0
+    E[0], D[0] = root, 0
+    pos = 1
+    while stack:
+        node, child_it = stack[-1]
+        child = next(child_it, None)
+        if child is None:
+            stack.pop()
+            if stack:
+                E[pos], D[pos] = stack[-1][0], len(stack) - 1
+                pos += 1
+        else:
+            F[child] = pos
+            E[pos], D[pos] = child, len(stack)
+            pos += 1
+            stack.append((child, iter(kids[child])))
+    assert pos == M
+    # sparse table of argmin-depth positions over E
+    nlev = max(1, M.bit_length())
+    SP = np.zeros((nlev, M), dtype=np.int64)
+    SP[0] = np.arange(M)
+    for j in range(1, nlev):
+        half = 1 << (j - 1)
+        n = M - (1 << j) + 1
+        if n <= 0:
+            SP[j] = SP[j - 1]
+            continue
+        a = SP[j - 1, :n]
+        b = SP[j - 1, half:half + n]
+        SP[j, :n] = np.where(D[a] <= D[b], a, b)
+        SP[j, n:] = SP[j - 1, n:]
+    lo = np.minimum(F[:, None], F[None, :])
+    hi = np.maximum(F[:, None], F[None, :])
+    # exact integer floor(log2): a float log2 of a power of two can land
+    # epsilon below the integer and floor to k-1
+    logt = np.zeros(M + 1, dtype=np.int64)
+    for i in range(2, M + 1):
+        logt[i] = logt[i >> 1] + 1
+    k = logt[hi - lo + 1]
+    a = SP[k, lo]
+    b = SP[k, hi - (1 << k) + 1]
+    L = E[np.where(D[a] <= D[b], a, b)]
+    # ancestor-or-self indicator by pointer walking (all rows at once)
+    anc = np.zeros((V, V), dtype=bool)
+    rows = np.arange(V)
+    cur = rows.copy()
+    anc[rows, cur] = True
+    while True:
+        nxt = parent[cur]
+        if (nxt == cur).all():
+            break
+        cur = nxt
+        anc[rows, cur] = True
     return anc.astype(np.float64), L
 
 
