@@ -58,6 +58,9 @@ def main(argv=None):
     p.add_argument("--amp", type=int, default=0)
     p.add_argument("--rep_iters", type=int, default=3)
     p.add_argument("--root_path", type=str, default="../data")
+    p.add_argument("--synthetic", action="store_true",
+                   help="explicit opt-in to generated data (otherwise a "
+                        "missing --root_path is an error)")
     p.add_argument("--distributed", action="store_true",
                    help="run 1 server + N client OS processes over TCP")
     args = p.parse_args(argv)
@@ -89,6 +92,8 @@ def main(argv=None):
         "--img_size", str(args.img_size),
         "--amp", str(args.amp),
     ]
+    if args.synthetic:
+        train_args.append("--synthetic")
 
     if args.debug:
         print("config:", " ".join(train_args))
@@ -186,7 +191,7 @@ def _client_proc(args, procedure, cid):
     cfg = _build_cfg(args, procedure)
     model = net_factory(cfg.model, in_chns=cfg.in_chns, class_num=cfg.num_classes,
                         num_clients=cfg.num_clients)
-    splits = load_task_splits(cfg, args.root_path)
+    splits = load_task_splits(cfg, args.root_path, synthetic=args.synthetic)
     # client-side own-best checkpoints land in the shared snapshot dir, like
     # the reference's per-process clients writing to one snapshot_path
     from ..utils.checkpoint import CheckpointManager

@@ -31,7 +31,12 @@ enable_persistent_cache()
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root_path", type=str, default=None,
-                   help="data root containing {FAZ_h5,ODOC_h5,...}; synthetic data if absent")
+                   help="data root containing {FAZ_h5,ODOC_h5,...}")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated synthetic data (EXPLICIT opt-in; "
+                        "a missing --root_path is an error otherwise — a run "
+                        "silently switching to synthetic data produces "
+                        "plausible but meaningless metrics)")
     p.add_argument("--exp", type=str, default="exp")
     p.add_argument("--img_class", type=str, default="odoc",
                    choices=["odoc", "faz", "polyp"])
@@ -85,6 +90,19 @@ def main(argv=None):
     from ..engine.config import TASKS, TrainConfig
 
     task = TASKS[args.img_class]
+    # fail fast, before any model/jit work: a run without data must refuse
+    # up front rather than silently training on synthetic splits
+    if not args.synthetic:
+        _root = (
+            os.path.join(args.root_path, task["root_subdir"])
+            if args.root_path else None
+        )
+        if not (_root and os.path.isdir(_root)):
+            raise FileNotFoundError(
+                f"data root for task {args.img_class!r} not found "
+                f"({_root!r}); pass a valid --root_path or request "
+                f"synthetic data EXPLICITLY with --synthetic"
+            )
     overrides = dict(
         model=args.model,
         procedure=args.procedure,
@@ -121,7 +139,12 @@ def main(argv=None):
             if args.root_path
             else None
         )
-        if root and os.path.isdir(root):
+        if not args.synthetic and not (root and os.path.isdir(root)):
+            raise FileNotFoundError(
+                f"data root not found ({root!r}); pass a valid --root_path "
+                f"or request synthetic data EXPLICITLY with --synthetic"
+            )
+        if not args.synthetic:
             train = load_client_split(root, args.client, "train", args.sup_type,
                                       args.limit_per_client)
             val = load_client_split(root, args.client, "val", "mask",
@@ -151,6 +174,7 @@ def main(argv=None):
             data_root=args.root_path,
             snapshot_dir=snapshot_dir,
             limit_per_client=args.limit_per_client,
+            synthetic=args.synthetic,
         )
         history = fed.run()
         if history:
@@ -165,6 +189,7 @@ def main(argv=None):
         data_root=args.root_path,
         snapshot_dir=snapshot_dir,
         limit_per_client=args.limit_per_client,
+        synthetic=args.synthetic,
     )
     if args.resume:
         server.try_resume()

@@ -575,6 +575,20 @@ def make_split_round_fn(model, cfg: TrainConfig):
 
                 worker = threading.Thread(target=_worker, daemon=True)
                 worker.start()
+                loss_parts = [None] * len(bounds)
+                cot_parts = [None] * len(bounds)
+
+                def _take(idx, res):
+                    if isinstance(res, BaseException):
+                        raise res
+                    li, d_packed = res
+                    loss_parts[idx] = li
+                    # device_put is async: starting the upload here lets it
+                    # ride the wire while the worker chains later chunks /
+                    # the main thread fetches them; chunk ORDER on device is
+                    # restored by position, so completion order is free
+                    cot_parts[idx] = jnp.asarray(d_packed, dtype=tdtype)
+
                 try:
                     try:
                         for idx, (chk, (lo, hi)) in enumerate(
@@ -583,6 +597,15 @@ def make_split_round_fn(model, cfg: TrainConfig):
                             # fetch in the wire dtype; the packed native
                             # chain widens bf16 rows itself (exact)
                             inq.put((idx, np.asarray(chk), lo, hi))
+                            # interleave: upload any chain results that
+                            # finished during that fetch instead of letting
+                            # them queue behind the remaining fetches
+                            while True:
+                                try:
+                                    j, res = outq.get_nowait()
+                                except queue.Empty:
+                                    break
+                                _take(j, res)
                     finally:
                         inq.put(None)  # always release the worker
                     if timing:
@@ -593,19 +616,9 @@ def make_split_round_fn(model, cfg: TrainConfig):
                         else:
                             _capture_cost("part2a", part2a, params, stats, k,
                                           batch, cid_arr)
-                    loss_parts = [None] * len(bounds)
-                    cot_parts = [None] * len(bounds)
-                    pending = {}
-                    for nxt in range(len(bounds)):
-                        # consume in index order so uploads keep image order
-                        while nxt not in pending:
-                            idx, res = outq.get()
-                            if isinstance(res, BaseException):
-                                raise res
-                            pending[idx] = res
-                        li, d_packed = pending.pop(nxt)
-                        loss_parts[nxt] = li
-                        cot_parts[nxt] = jnp.asarray(d_packed, dtype=tdtype)
+                    for _ in range(sum(c is None for c in cot_parts)):
+                        j, res = outq.get()
+                        _take(j, res)
                 finally:
                     worker.join()
                 tree_val = float(np.concatenate(loss_parts).sum())

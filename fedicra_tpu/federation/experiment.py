@@ -29,14 +29,27 @@ def load_task_splits(
     cfg: TrainConfig,
     data_root: Optional[str],
     limit_per_client: Optional[int] = None,
+    synthetic: bool = False,
 ) -> Dict[int, Dict[str, ClientSplit]]:
-    """Per-client train/val splits; synthetic fallback when no data on disk."""
+    """Per-client train/val splits.
+
+    ``synthetic=True`` is the ONLY way to get generated data; a missing or
+    wrong ``data_root`` raises instead of silently substituting synthetic
+    splits (a real training run that silently switches datasets produces
+    plausible-looking but meaningless metrics — exactly what happened to a
+    round-5 north-star relaunch that dropped ``--root_path``)."""
     task = TASKS[cfg.img_class]
     sup_types = task["sup_types"]
     out = {}
     root = os.path.join(data_root, task["root_subdir"]) if data_root else None
+    if not synthetic and not (root and os.path.isdir(root)):
+        raise FileNotFoundError(
+            f"data root for task {cfg.img_class!r} not found "
+            f"({root!r}); pass a valid --root_path, or request synthetic "
+            f"data EXPLICITLY (--synthetic / synthetic=True)"
+        )
     for cid, (client, sup) in enumerate(sup_types.items()):
-        if root and os.path.isdir(root):
+        if not synthetic:
             print(f"[data] loading {client} ({sup}) from {root}", flush=True)
             train = load_client_split(root, client, "train", sup, limit_per_client)
             val = load_client_split(root, client, "val", "mask", limit_per_client)
@@ -62,6 +75,7 @@ def build_experiment(
     snapshot_dir: Optional[str] = None,
     limit_per_client: Optional[int] = None,
     splits: Optional[Dict[int, Dict[str, ClientSplit]]] = None,
+    synthetic: bool = False,
 ) -> FederatedServer:
     cfg = cfg.validate()
     model = net_factory(
@@ -76,7 +90,8 @@ def build_experiment(
     ala_fn = make_ala_epoch_fn(model, cfg) if cfg.fedicra else None
 
     if splits is None:
-        splits = load_task_splits(cfg, data_root, limit_per_client)
+        splits = load_task_splits(cfg, data_root, limit_per_client,
+                                  synthetic=synthetic)
 
     # one manager shared by the server (aggregate best, periodic, resume)
     # and the clients (client-side own-best, flower_common.py:106-114)

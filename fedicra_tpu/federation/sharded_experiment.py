@@ -46,6 +46,7 @@ class ShardedFederation:
         limit_per_client: Optional[int] = None,
         mesh=None,
         splits=None,
+        synthetic: bool = False,
     ):
         self.cfg = cfg.validate()
         self.mesh = mesh or make_mesh(num_clients=cfg.num_clients)
@@ -72,7 +73,8 @@ class ShardedFederation:
             "batch_stats": base.batch_stats,
         }
         if splits is None:
-            splits = load_task_splits(cfg, data_root, limit_per_client)
+            splits = load_task_splits(cfg, data_root, limit_per_client,
+                                      synthetic=synthetic)
         self.splits = splits
         self.batchers = {
             cid: EpochBatcher(

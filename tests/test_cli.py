@@ -126,3 +126,41 @@ def test_offline_test_cli_loads_per_client_best(tmp_path, monkeypatch):
     assert (out / "result.csv").exists()
     assert (out / "mean_std_result.csv").exists()
     assert list((out / "pre").glob("*.png"))
+
+
+def test_missing_data_root_is_loud_not_synthetic(tmp_path):
+    """A real run must never silently fall back to synthetic data.
+
+    Regression: a round-5 ODOC north-star relaunch dropped --root_path and
+    trained 70 iterations on generated disks, producing plausible-looking
+    (0.94 dice) but meaningless metrics. Synthetic data is now an explicit
+    opt-in at every layer."""
+    from fedicra_tpu.cli.train import main as train_main
+    from fedicra_tpu.engine.config import TrainConfig
+    from fedicra_tpu.federation import load_task_splits
+
+    cfg = TrainConfig.for_task("odoc", img_size=16, batch_size=2)
+    # library layer: no root
+    with pytest.raises(FileNotFoundError):
+        load_task_splits(cfg, None, limit_per_client=2)
+    # library layer: root that does not exist
+    with pytest.raises(FileNotFoundError):
+        load_task_splits(cfg, str(tmp_path / "nope"), limit_per_client=2)
+    # explicit opt-in works
+    splits = load_task_splits(cfg, None, limit_per_client=2, synthetic=True)
+    assert len(splits) == cfg.num_clients
+    # CLI layer: federated train without --root_path refuses up front
+    with pytest.raises(FileNotFoundError):
+        train_main([
+            "--img_class", "odoc", "--exp", "guard", "--procedure", "pce",
+            "--snapshot_root", str(tmp_path), "--stop_after", "2",
+            "--limit_per_client", "2", "--img_size", "16",
+            "--batch_size", "2", "--iters", "1",
+        ])
+    # CLI layer: centralized without --root_path refuses up front
+    with pytest.raises(FileNotFoundError):
+        train_main([
+            "--centralized", "--img_class", "odoc", "--exp", "guard2",
+            "--snapshot_root", str(tmp_path), "--limit_per_client", "2",
+            "--img_size", "16", "--batch_size", "2", "--stop_after", "2",
+        ])

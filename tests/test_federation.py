@@ -30,7 +30,7 @@ def _tiny_cfg(**kw):
 
 def test_fedavg_two_rounds_runs_and_aggregates():
     cfg = _tiny_cfg(strategy="FedAvg", procedure="pce", model="unet_lc_multihead")
-    server = build_experiment(cfg, limit_per_client=4)
+    server = build_experiment(cfg, limit_per_client=4, synthetic=True)
     history = server.run(num_rounds=4, progress=False)
     assert len(history) == 2
     # eval round happened at iter 4
@@ -46,7 +46,7 @@ def test_central_evaluate_for_centralized_strategies():
     flower_common.py:139-151, called at :288-301); PERSONALIZED_FL (FedICRA)
     must skip it — the reference guards on `strategy not in PERSONALIZED_FL`."""
     cfg = _tiny_cfg(strategy="FedAvg", procedure="pce", model="unet_lc_multihead")
-    server = build_experiment(cfg, limit_per_client=4)
+    server = build_experiment(cfg, limit_per_client=4, synthetic=True)
     assert server.central_eval_fn is not None
     history = server.run(num_rounds=4, progress=False)
     evald = [h for h in history if "central_val_mean_dice" in h]
@@ -58,13 +58,13 @@ def test_central_evaluate_for_centralized_strategies():
         assert np.isfinite(h["central_val_mean_dice"])
 
     cfg_p = _tiny_cfg(strategy="FedICRA", procedure="pce")
-    server_p = build_experiment(cfg_p, limit_per_client=4)
+    server_p = build_experiment(cfg_p, limit_per_client=4, synthetic=True)
     assert server_p.central_eval_fn is None
 
 
 def test_fedicra_round_with_ala_skip_then_train():
     cfg = _tiny_cfg(strategy="FedICRA", procedure="pce", iters=2, rep_iters=1)
-    server = build_experiment(cfg, limit_per_client=4)
+    server = build_experiment(cfg, limit_per_client=4, synthetic=True)
     history = server.run(num_rounds=4, progress=False)
     assert len(history) == 2
     # with iter_global <= 50 every client should have adopted global weights
@@ -78,7 +78,7 @@ def test_ala_gate_learning_blends_towards_local():
     """With iter_global > 50 ALA must run; gates in [0,1], lower layers take
     the global weights, gated layers land between global and local."""
     cfg = _tiny_cfg(strategy="FedICRA", procedure="pce")
-    server = build_experiment(cfg, limit_per_client=4)
+    server = build_experiment(cfg, limit_per_client=4, synthetic=True)
     client = server.clients[0]
     model = client.model
 
@@ -116,7 +116,7 @@ def test_ala_gate_learning_blends_towards_local():
 
 def test_ala_skip_under_50_iters():
     cfg = _tiny_cfg(strategy="FedICRA", procedure="pce")
-    server = build_experiment(cfg, limit_per_client=4)
+    server = build_experiment(cfg, limit_per_client=4, synthetic=True)
     client = server.clients[1]
     local = client.state.params
     global_p = jax.tree.map(lambda x: x + 0.1, local)
@@ -159,15 +159,17 @@ def test_fedicra_personalization_diverges_heads(monkeypatch):
     test_fedicra_round_with_ala_skip_then_train.)"""
     import fedicra_tpu.federation.ala as ala_mod
 
-    monkeypatch.setattr(ala_mod, "ALA_SKIP_ITERS", 0)
     monkeypatch.setattr(ala_mod, "ALA_MAX_EPOCHS", 2)
     # freeze gate learning so gates stay exactly 1: the merge then anchors the
     # gated layers at each client's LOCAL weights deterministically (with
     # learning enabled the gates may legitimately converge to adopt-global,
     # which made this assertion trajectory-dependent)
     monkeypatch.setattr(ala_mod, "ALA_ETA", 0.0)
-    cfg = _tiny_cfg(strategy="FedICRA", procedure="pce", max_iterations=8)
-    server = build_experiment(cfg, limit_per_client=4)
+    # the skip horizon comes from cfg (cfg.ala_skip_iters wins over the
+    # module constant — monkeypatching ALA_SKIP_ITERS here would be dead)
+    cfg = _tiny_cfg(strategy="FedICRA", procedure="pce", max_iterations=8,
+                    ala_skip_iters=0)
+    server = build_experiment(cfg, limit_per_client=4, synthetic=True)
     server.run(num_rounds=8, progress=False)
     heads = []
     for c in server.clients:
@@ -184,7 +186,7 @@ def test_fit_fault_aborts_round_without_contamination():
     MyServer logs + continues (flower_common.py:263-265, ..._Ours.py:377)."""
     cfg = _tiny_cfg(strategy="FedAvg", procedure="pce",
                     model="unet_lc_multihead")
-    server = build_experiment(cfg, limit_per_client=4)
+    server = build_experiment(cfg, limit_per_client=4, synthetic=True)
     victim = server.clients[2]
     real_fit = victim.fit
 
@@ -222,7 +224,7 @@ def test_evaluate_fault_skips_eval_round_and_continues():
     (flower_common.py:303-306)."""
     cfg = _tiny_cfg(strategy="FedAvg", procedure="pce",
                     model="unet_lc_multihead")
-    server = build_experiment(cfg, limit_per_client=4)
+    server = build_experiment(cfg, limit_per_client=4, synthetic=True)
     victim = server.clients[1]
 
     calls = {"n": 0}
@@ -276,15 +278,15 @@ def test_server_resume_continues_identically(tmp_path):
     )
 
     # uninterrupted: 8 iterations
-    s_full = build_experiment(mk(), limit_per_client=4)
+    s_full = build_experiment(mk(), limit_per_client=4, synthetic=True)
     h_full = s_full.run(num_rounds=8, progress=False)
 
     # interrupted: 4 iterations, snapshot, fresh process-equivalent, resume
     d = str(tmp_path / "snap")
-    s_a = build_experiment(mk(), snapshot_dir=d, limit_per_client=4)
+    s_a = build_experiment(mk(), snapshot_dir=d, limit_per_client=4, synthetic=True)
     s_a.run(num_rounds=4, progress=False)
 
-    s_b = build_experiment(mk(), snapshot_dir=d, limit_per_client=4)
+    s_b = build_experiment(mk(), snapshot_dir=d, limit_per_client=4, synthetic=True)
     assert s_b.try_resume()
     assert s_b.current_round == 4
     h_b = s_b.run(num_rounds=8, progress=False)
@@ -312,7 +314,7 @@ def test_client_side_own_best_checkpoints(tmp_path, monkeypatch):
     cfg = _tiny_cfg(strategy="FedAvg", procedure="pce",
                     model="unet_lc_multihead")
     d = str(tmp_path / "snap")
-    server = build_experiment(cfg, snapshot_dir=d, limit_per_client=4)
+    server = build_experiment(cfg, snapshot_dir=d, limit_per_client=4, synthetic=True)
     cl = server.clients[0]
     assert cl.ckpt is not None
 
@@ -367,7 +369,7 @@ def test_server_graceful_stop_fn(tmp_path):
     cfg = _tiny_cfg(strategy="FedAvg", procedure="pce",
                     model="unet_lc_multihead", ckpt_iters=1000)
     d = str(tmp_path / "snap")
-    server = build_experiment(cfg, snapshot_dir=d, limit_per_client=4)
+    server = build_experiment(cfg, snapshot_dir=d, limit_per_client=4, synthetic=True)
     calls = {"n": 0}
 
     def stop_after_one():
@@ -377,6 +379,6 @@ def test_server_graceful_stop_fn(tmp_path):
     server.run(num_rounds=100, progress=False, stop_fn=stop_after_one)
     assert server.current_round == cfg.iters  # exactly one round ran
     # the stop path wrote a resume snapshot despite ckpt_iters never firing
-    s2 = build_experiment(cfg, snapshot_dir=d, limit_per_client=4)
+    s2 = build_experiment(cfg, snapshot_dir=d, limit_per_client=4, synthetic=True)
     assert s2.try_resume()
     assert s2.current_round == cfg.iters

@@ -35,7 +35,7 @@ def test_sharded_federation_fedavg_round():
         model="unet_lc_multihead",
     ).replace(num_clients=4)
     mesh = make_mesh(n_devices=8, num_clients=4)
-    fed = ShardedFederation(cfg, mesh=mesh, limit_per_client=4)
+    fed = ShardedFederation(cfg, mesh=mesh, limit_per_client=4, synthetic=True)
     hist = fed.run(progress=False)
     assert len(hist) == 2
     for leaf in jax.tree.leaves(fed.global_payload["params"]):
@@ -63,7 +63,7 @@ def test_sharded_matches_sequential_fedavg_one_round():
         model="unet_lc_multihead",
     ).replace(num_clients=2)
     mesh = make_mesh(n_devices=2, num_clients=2)
-    fed = ShardedFederation(cfg, mesh=mesh, limit_per_client=2)
+    fed = ShardedFederation(cfg, mesh=mesh, limit_per_client=2, synthetic=True)
     # snapshot inputs for the sequential replay
     start = np.asarray(fed.states.current_iter)
     batches = fed._stack_round_batches(start)

@@ -55,7 +55,7 @@ def test_polyp_federation_four_clients():
         model="unet_lc_multihead",
     )
     assert cfg.num_clients == 4 and cfg.in_chns == 3 and cfg.num_classes == 2
-    server = build_experiment(cfg, limit_per_client=4)  # synthetic (not shipped)
+    server = build_experiment(cfg, limit_per_client=4, synthetic=True)  # not shipped
     hist = server.run(num_rounds=4, progress=False)
     assert len(hist) == 2 and any("val_mean_dice" in h for h in hist)
 
