@@ -140,8 +140,12 @@ class TorchUNet:
         for i, skip in zip(range(1, 5), (feats[3], feats[2], feats[1], feats[0])):
             up = d[f"up{i}"]
             x = F.conv2d(x, up["k1x1"], up["b1x1"])
+            # size= (not scale_factor=2): identical at every even size (the
+            # real 384/256 configs) and well-defined at odd sizes (small
+            # experiment grids like 24^2), matching the flax UpBlock's
+            # resize-to-skip-shape semantics
             x = F.interpolate(
-                x, scale_factor=2, mode="bilinear", align_corners=True
+                x, size=skip.shape[2:], mode="bilinear", align_corners=True
             )
             x = torch.cat([skip, x], dim=1)  # skip first (reference cat order)
             x = self._block(x, up["block"], ds[f"up{i}"], train)
@@ -370,8 +374,12 @@ class TorchFedICRAUNet:
         for i, skip in zip(range(1, 5), (feats[3], feats[2], feats[1], feats[0])):
             up = d[f"up{i}"]
             x = F.conv2d(x, up["k1x1"], up["b1x1"])
+            # size= (not scale_factor=2): identical at every even size (the
+            # real 384/256 configs) and well-defined at odd sizes (small
+            # experiment grids like 24^2), matching the flax UpBlock's
+            # resize-to-skip-shape semantics
             x = F.interpolate(
-                x, scale_factor=2, mode="bilinear", align_corners=True
+                x, size=skip.shape[2:], mode="bilinear", align_corners=True
             )
             x = torch.cat([skip, x], dim=1)
             x = self._block(x, up["block"], ds[f"up{i}"], train)
