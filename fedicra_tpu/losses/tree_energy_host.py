@@ -40,6 +40,17 @@ def low_tree_cache_stats() -> dict:
     return dict(_CACHE_STATS, size=len(_LOW_TREE_CACHE), max=_LOW_TREE_CACHE_MAX)
 
 
+# Version of native.tree_low_structure_build's OUTPUT representation
+# (parent/order/w layout + tie-breaking). Bump whenever a change to the
+# builder can alter the emitted arrays, so warm disk caches can't silently
+# serve structures built by older logic (the same latent-bug class the
+# round-4 advisor flagged for the decoded-split cache). Version 1 keeps the
+# historical unversioned filenames — the round-5 r3-vs-HEAD bitwise check
+# (BASELINE.md round-5 divergence forensics) verified every era through
+# round 5 emits identical structures, so existing entries are all "v1".
+_STRUCTURE_VERSION = 1
+
+
 def _disk_cache_dir() -> str | None:
     """Second cache level on disk: the MST/rooting depends only on the guide
     image (which never changes across relaunches), so a process restart —
@@ -67,8 +78,9 @@ def _low_structure_cached(low_f: np.ndarray, hw: tuple, eu, ev, sigma: float):
     fname = None
     if ddir:
         shape_tag = "x".join(map(str, low_f.shape + tuple(hw)))
+        ver = "" if _STRUCTURE_VERSION == 1 else f"_v{_STRUCTURE_VERSION}"
         fname = os.path.join(
-            ddir, f"{digest.hex()}_{shape_tag}_{float(sigma)}.npz"
+            ddir, f"{digest.hex()}_{shape_tag}_{float(sigma)}{ver}.npz"
         )
         try:
             with np.load(fname) as z:
